@@ -1,0 +1,182 @@
+"""Tile payload codecs: PNG (real, zlib-backed), alpha sidecar, quantized-DCT.
+
+The reference encodes tiles as JPEG q85 + zstd alpha sidecar, or PNG
+(src/processor.rs:493-563; knobs src/args.rs:52-57).  This container has no
+Pillow / zstandard / libjpeg, so:
+
+- **PNG** is implemented for real: a standards-compliant minimal PNG writer/
+  reader (zlib + CRC32), grayscale-alpha (colortype 4) and RGBA (colortype
+  6), 8-bit, no interlace — the La8/Rgba8 paths of src/processor.rs:543-562.
+  Filter type 0 on every scanline (deterministic; "Best/Adaptive" in the
+  reference is a size optimization, not a semantics change).
+- **Alpha sidecar** uses zlib (level 6) with a 4-byte magic b"ZLA1" instead
+  of zstd (src/processor.rs:515-526) — zstandard is not installed.  The
+  format is pinned by tests; swapping in zstd later only changes the magic.
+- **JPEG** is replaced by a clearly-marked deterministic stand-in, QDCT
+  (b"QDM1" magic): quality-quantized pixels + zlib.  Real JPEG's semantics
+  here are "lossy encode whose decode is pixel-close"; QDCT reproduces that
+  contract deterministically (decode error bounded by the quantization
+  step) without libjpeg.  Parity with the reference is asserted on decoded
+  pixels, not bytes (SURVEY.md §7 hard-part 2).
+
+All functions operate on numpy u8 arrays and bytes; they run inside
+Arrow-batched pandas UDFs only (never per-row Python).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_COLORTYPE = {2: 4, 4: 6}  # bands -> PNG colortype (GA, RGBA)
+_BANDS = {4: 2, 6: 4}
+
+ALPHA_MAGIC = b"ZLA1"
+QDCT_MAGIC = b"QDM1"
+
+
+# ---------------------------------------------------------------------------
+# PNG (real)
+# ---------------------------------------------------------------------------
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode (H, W, 2|4) u8 as PNG (GA8 / RGBA8), filter 0, zlib level 9."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, bands = img.shape
+    colortype = _COLORTYPE[bands]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    raw = np.empty((h, 1 + w * bands), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = img.reshape(h, w * bands)
+    idat = zlib.compress(raw.tobytes(), 9)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode the PNGs this module writes (8-bit GA/RGBA, filters 0-4)."""
+    assert data[:8] == PNG_SIG, "not a PNG"
+    pos, idat, w = 8, b"", 0
+    h = bands = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, colortype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8, "only 8-bit supported"
+            bands = _BANDS[colortype]
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = 1 + w * bands
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * bands), dtype=np.uint8)
+    for row in range(h):
+        ftype, line = raw[row, 0], raw[row, 1:].astype(np.int32)
+        prev = out[row - 1].astype(np.int32) if row else np.zeros(w * bands, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need sequential scan
+            cur = np.zeros(w * bands, np.int32)
+            for i in range(w * bands):
+                a = cur[i - bands] if i >= bands else 0
+                b = prev[i]
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bands] if i >= bands else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+        out[row] = cur.astype(np.uint8)
+    return out.reshape(h, w, bands)
+
+
+# ---------------------------------------------------------------------------
+# Alpha sidecar (zstd stand-in; src/processor.rs:515-526 semantics)
+# ---------------------------------------------------------------------------
+
+def alpha_encode(alpha: np.ndarray) -> bytes | None:
+    """None if fully opaque (opaque-elision, src/processor.rs:505-517),
+    else magic + zlib-compressed alpha plane."""
+    alpha = np.ascontiguousarray(alpha, dtype=np.uint8)
+    if bool((alpha == 255).all()):
+        return None
+    return ALPHA_MAGIC + zlib.compress(alpha.tobytes(), 6)
+
+
+def alpha_decode(data: bytes | None, n: int) -> np.ndarray:
+    """Absent sidecar => constant 255 (src/processor.rs:205-209)."""
+    if data is None or len(data) == 0:
+        return np.full(n, 255, dtype=np.uint8)
+    assert data[:4] == ALPHA_MAGIC
+    return np.frombuffer(zlib.decompress(data[4:]), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# QDCT: deterministic lossy stand-in for JPEG (src/processor.rs:528-539)
+# ---------------------------------------------------------------------------
+
+def qdct_encode(img: np.ndarray, quality: int = 85) -> bytes:
+    """Quantize color planes by step derived from quality, zlib the result.
+
+    Header: magic, h, w, bands, quality. Decode error <= step/2 per sample,
+    the same pixel-close contract real JPEG parity is asserted under.
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, bands = img.shape
+    step = max(1, (100 - quality) // 5)
+    q = (img.astype(np.uint16) + step // 2) // step
+    header = QDCT_MAGIC + struct.pack(">HHBB", h, w, bands, quality)
+    return header + zlib.compress(q.astype(np.uint8).tobytes(), 6)
+
+
+def qdct_decode(data: bytes) -> np.ndarray:
+    assert data[:4] == QDCT_MAGIC
+    h, w, bands, quality = struct.unpack(">HHBB", data[4:10])
+    step = max(1, (100 - quality) // 5)
+    q = np.frombuffer(zlib.decompress(data[10:]), dtype=np.uint8)
+    return np.clip(q.astype(np.uint16) * step, 0, 255).astype(np.uint8).reshape(h, w, bands)
+
+
+# ---------------------------------------------------------------------------
+# Tile payload encode/decode (format dispatch, the encode stage of §3.2)
+# ---------------------------------------------------------------------------
+
+def encode_tile(img: np.ndarray, fmt: str = "png", quality: int = 85) -> tuple[bytes, bytes | None]:
+    """(tile_data, tile_alpha_or_None).  'jpeg' splits RGB/alpha like the
+    reference (src/processor.rs:498-513): color planes -> QDCT, alpha ->
+    sidecar; 'png' keeps alpha in-band."""
+    if fmt == "png":
+        return png_encode(img), None
+    color, alpha = img[:, :, :-1], img[:, :, -1]
+    return qdct_encode(color, quality), alpha_encode(alpha)
+
+
+def decode_tile(data: bytes, alpha: bytes | None, fmt: str = "png") -> np.ndarray:
+    """Inverse of encode_tile; 'jpeg' re-interleaves color + alpha
+    (resume path, src/processor.rs:211-216)."""
+    if fmt == "png":
+        return png_decode(data)
+    color = qdct_decode(data)
+    h, w, _ = color.shape
+    a = alpha_decode(alpha, h * w).reshape(h, w, 1)
+    return np.concatenate([color, a], axis=2)

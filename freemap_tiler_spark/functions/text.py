@@ -1,0 +1,155 @@
+"""Text-side scalar functions for the web-page corpus.
+
+The graft input is a Common-Crawl-style table (url, warc_ts, html, text,
+lang).  Geometry is extracted from ``text`` (geotag pattern
+``geo:{lat},{lon}``); the carried ``text`` column is never mutated
+(byte-identity invariant per url).  Everything here is either pure JVM
+Column arithmetic (regexp/length/hash built-ins — stays in codegen) or has
+an exact DuckDB SQL twin for the oracle.
+
+Also provides the training-data-pipeline text analyzers: language ID
+(stopword-ratio heuristic), quality scoring, token counting, and document
+fingerprinting (64-bit FNV-1a rolling hash, numpy + SQL twins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+GEO_PATTERN = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def _c(v) -> Column:
+    return v if isinstance(v, Column) else F.col(v)
+
+
+# ---------------------------------------------------------------------------
+# Geotag extraction (JVM-side regexp — no UDF needed)
+# ---------------------------------------------------------------------------
+
+def geo_lat(text) -> Column:
+    """Latitude from the first ``geo:lat,lon`` occurrence; NULL if absent."""
+    m = F.regexp_extract(_c(text), GEO_PATTERN, 1)
+    return F.when(m != "", m.cast("double"))
+
+
+def geo_lon(text) -> Column:
+    m = F.regexp_extract(_c(text), GEO_PATTERN, 2)
+    return F.when(m != "", m.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish subword estimate)
+# ---------------------------------------------------------------------------
+
+def ws_token_count(text) -> Column:
+    """Whitespace token count: size(split(trim(text), '\\s+')), 0 for empty."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_token_estimate(text) -> Column:
+    """BPE-ish subword count: word-boundary pieces + ceil(chars/4) overflow
+    for long words — a deterministic regex-based estimate (no tokenizer lib).
+    Counts matches of: word chars in <=4-char chunks, digits, punctuation."""
+    pieces = F.regexp_count(_c(text), F.lit(r"\w{1,4}|[^\w\s]"))
+    return pieces.cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_features(text) -> dict[str, Column]:
+    """Length / punctuation / stopword / uppercase ratios, each a plain
+    Column.  Combine with quality_score()."""
+    t = _c(text)
+    n_chars = F.length(t).cast("double")
+    safe = F.greatest(n_chars, F.lit(1.0))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    n_upper = F.regexp_count(t, F.lit(r"[A-Z]")).cast("double")
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]")).cast("double")
+    n_words = ws_token_count(t).cast("double")
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b")
+    ).cast("double")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "punct_ratio": n_punct / safe,
+        "upper_ratio": n_upper / safe,
+        "digit_ratio": n_digit / safe,
+        "stopword_ratio": n_stop / F.greatest(n_words, F.lit(1.0)),
+        "mean_word_len": n_chars / F.greatest(n_words, F.lit(1.0)),
+    }
+
+
+def quality_score(text) -> Column:
+    """Scalar quality in [0, 1]: rewards stopword presence and sane word
+    length, penalizes punctuation/digit noise (C4/Gopher-style heuristics)."""
+    f = quality_features(text)
+    score = (
+        F.lit(1.0)
+        - F.least(f["punct_ratio"] * 2.0, F.lit(0.5))
+        - F.least(f["digit_ratio"] * 2.0, F.lit(0.3))
+        + F.least(f["stopword_ratio"], F.lit(0.4)) * 0.5
+    )
+    penal = F.when((f["mean_word_len"] < 2.0) | (f["mean_word_len"] > 12.0), 0.3).otherwise(0.0)
+    return F.greatest(F.lit(0.0), F.least(score - penal, F.lit(1.0)))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic; no fasttext offline)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|is|that|with|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "sk": r"\b(je|sa|na|som|ako|ale|tak|aj)\b",
+    "cs": r"\b(je|se|na|jsem|jak|ale|tak|aby)\b",
+    "es": r"\b(el|la|de|que|y|en|los|del)\b",
+    "fr": r"\b(le|la|de|et|les|des|est|une)\b",
+}
+
+
+def lang_id(text) -> Column:
+    """argmax over per-language stopword hit counts; 'und' if all zero."""
+    t = F.lower(_c(text))
+    counts = [(lang, F.regexp_count(t, F.lit(pat))) for lang, pat in _LANG_STOPWORDS.items()]
+    best = F.greatest(*[c for _, c in counts])
+    expr = F.lit("und")
+    for lang, c in reversed(counts):  # earlier langs win ties
+        expr = F.when((best > 0) & (c == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (FNV-1a 64, numpy kernel + SQL-expressible md5 twin)
+# ---------------------------------------------------------------------------
+
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def np_fnv1a64(data: bytes) -> int:
+    """Rolling FNV-1a 64 over bytes (vectorizable per-batch in pandas UDFs)."""
+    h = FNV_OFFSET
+    arr = np.frombuffer(data, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        for b in arr:
+            h = (h ^ np.uint64(b)) * FNV_PRIME
+    return int(h)
+
+
+def md5_fingerprint(text) -> Column:
+    """64-bit fingerprint = first 15 hex chars of md5, as bigint.
+
+    Chosen because Spark ``md5`` and DuckDB ``md5`` agree byte-for-byte, so
+    the oracle can verify fingerprints end-to-end (15 hex chars = 60 bits,
+    keeps the conv() result positive in both engines)."""
+    return F.conv(F.substring(F.md5(_c(text).cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+MD5_FINGERPRINT_SQL = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"

@@ -1,0 +1,213 @@
+"""Tile-pyramid construction: rasterize points -> recursive 2x2 compose.
+
+The Spark-first restatement of the reference's core computation
+(src/processor.rs:227-321 compose; src/main.rs:208-271 scheduling):
+
+1. **Leaf rasterization** — points carry a global fractional pixel
+   coordinate at max_zoom (pure Column math); ``groupBy(cell)`` +
+   ``applyInPandas`` bins them into a tile payload (Gray+Alpha u8: value =
+   clipped point count per pixel, alpha = 255 where any point).  This is
+   the warp/megatile stage (§3.2) with the raster source generalized to a
+   point corpus.
+
+2. **Pyramid compose** — instead of one shuffle per zoom level (the naive
+   translation of the reference's per-tile readiness scheduler,
+   src/state.rs:30-49), tiles are grouped by their zoom-k ancestor and one
+   ``applyInPandas`` task composes the ENTIRE k-level subtree (mosaic 2x2 +
+   Lanczos-3 downsample per level, src/processor.rs:254-309 semantics).
+   One shuffle therefore advances k levels: ceil(max_zoom / k) shuffles
+   total.  k = ``levels_per_shuffle`` is the engine's analogue of the
+   reference's --warp-zoom-offset batching knob (src/args.rs:59-61) — the
+   same amortization idea applied to shuffles instead of GDAL warps.
+   At 100 TB this is the difference between 14 and 5 shuffle barriers.
+
+3. **Limits fold** — per-zoom min/max of x and TMS y
+   (src/processor.rs:567-584, src/main.rs:351-364): one tiny groupBy.
+
+Between levels everything stays (cell:long, payload:binary) — 16 bytes + one
+tile buffer per row; shuffle volume per level is exactly the level's pixel
+data (and level z holds 4x fewer tiles than z+1, so the loop's total shuffle
+is < 4/3 of the leaf level — geometric decay).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import cells, mercator
+from freemap_tiler_spark.functions.codecs import encode_tile
+from freemap_tiler_spark.functions.resample import downsample2x, mosaic_children
+
+PAYLOAD_SCHEMA = "cell long, payload binary"
+
+
+def assign_cells(points: DataFrame, lon_col: str, lat_col: str, zoom: int) -> DataFrame:
+    """Add (cell, fx, fy): leaf cell id + global fractional pixel coords.
+
+    All JVM-side Column math — the Spark equivalent of the reference's
+    tile-coverage enumeration (src/main.rs:173-181) driven from data."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    tx = mercator.tile_x(lon, F.lit(zoom))
+    ty = mercator.tile_y(lat, F.lit(zoom))
+    n = F.lit(float(1 << zoom))
+    fx = (lon + 180.0) / 360.0 * n
+    lat_r = F.radians(lat)
+    t = F.tan(lat_r)
+    fy = (1.0 - F.log(t + F.sqrt(t * t + 1.0)) / F.lit(math.pi)) / 2.0 * n
+    return points.withColumn("cell", cells.cell(F.lit(zoom), tx, ty)).withColumn(
+        "fx", fx
+    ).withColumn("fy", fy)
+
+
+def rasterize_level(points_with_cells: DataFrame, tile_size: int = 256) -> DataFrame:
+    """(cell, fx, fy) points -> (cell, payload) leaf tiles.
+
+    One group per leaf tile; inside the group a single np.bincount bins all
+    points (vectorized, no per-row Python)."""
+    t = tile_size
+
+    def _rasterize(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        _, x, y = cells.np_cell_zxy(np.array([cell]))
+        px = np.floor((pdf["fx"].to_numpy() - float(x[0])) * t).astype(np.int64)
+        py = np.floor((pdf["fy"].to_numpy() - float(y[0])) * t).astype(np.int64)
+        px = np.clip(px, 0, t - 1)
+        py = np.clip(py, 0, t - 1)
+        counts = np.bincount(py * t + px, minlength=t * t)
+        img = np.zeros((t * t, 2), dtype=np.uint8)
+        img[:, 0] = np.clip(counts, 0, 255)
+        img[:, 1] = np.where(counts > 0, 255, 0)
+        return pd.DataFrame({"cell": [cell], "payload": [img.tobytes()]})
+
+    return points_with_cells.groupBy("cell").applyInPandas(_rasterize, PAYLOAD_SCHEMA)
+
+
+def _compose_subtree(
+    tiles: dict[int, np.ndarray], levels: int, tile_size: int, bands: int
+) -> dict[int, np.ndarray]:
+    """Compose `levels` levels above the given tiles (all sharing one
+    ancestor).  Returns every newly produced tile (all intermediate levels).
+    Mosaic law and Lanczos downsample per src/processor.rs:254-309."""
+    out: dict[int, np.ndarray] = {}
+    current = tiles
+    for _ in range(levels):
+        groups: dict[int, dict[int, np.ndarray]] = {}
+        for c, buf in current.items():
+            p = int(cells.np_parent(np.array([c]))[0])
+            groups.setdefault(p, {})[c & 3] = buf
+        nxt: dict[int, np.ndarray] = {}
+        for p, kids in groups.items():
+            canvas = mosaic_children(kids, tile_size, bands)
+            nxt[p] = downsample2x(canvas).reshape(-1)
+        out.update(nxt)
+        current = nxt
+    return out
+
+
+def compose_pyramid(
+    level_df: DataFrame,
+    from_zoom: int,
+    to_zoom: int = 0,
+    tile_size: int = 256,
+    bands: int = 2,
+    levels_per_shuffle: int = 3,
+) -> DataFrame:
+    """(cell, payload) tiles at from_zoom -> union of ALL levels
+    [to_zoom, from_zoom].  ceil((from_zoom-to_zoom)/k) shuffles."""
+    def _make_compose(k: int):
+        def _compose(pdf: pd.DataFrame) -> pd.DataFrame:
+            tiles = {
+                int(c): np.frombuffer(p, dtype=np.uint8)
+                for c, p in zip(pdf["cell"], pdf["payload"])
+            }
+            produced = _compose_subtree(tiles, k, tile_size, bands)
+            return pd.DataFrame(
+                {
+                    "cell": list(produced.keys()),
+                    "payload": [v.tobytes() for v in produced.values()],
+                }
+            )
+
+        return _compose
+
+    all_levels = level_df
+    current = level_df
+    z = from_zoom
+    while z > to_zoom:
+        k = min(levels_per_shuffle, z - to_zoom)
+        anc = cells.ancestor(F.col("cell"), k).alias("anc")
+        produced = current.groupBy(anc).applyInPandas(
+            _make_compose(k), PAYLOAD_SCHEMA
+        )
+        all_levels = all_levels.unionByName(produced)
+        current = produced.where(cells.cell_zoom("cell") == z - k)
+        z -= k
+    return all_levels
+
+
+def with_tile_keys(df: DataFrame) -> DataFrame:
+    """Expand cell -> (zoom, x, y, tms_y) columns (JVM-side bit math)."""
+    return df.select(
+        "*",
+        cells.cell_zoom("cell").alias("zoom"),
+        cells.cell_x("cell").alias("x"),
+        cells.cell_y("cell").alias("y"),
+    ).withColumn("tms_y", cells.reversed_y(F.col("zoom"), F.col("y")))
+
+
+def encode_level(df: DataFrame, fmt: str = "png", quality: int = 85,
+                 tile_size: int = 256, bands: int = 2) -> DataFrame:
+    """(cell, payload) -> (cell, tile_data, tile_alpha) via mapInPandas
+    (the encode stage, src/processor.rs:493-563)."""
+    t = tile_size
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            datas, alphas = [], []
+            for p in pdf["payload"]:
+                img = np.frombuffer(p, dtype=np.uint8).reshape(t, t, bands)
+                d, a = encode_tile(img, fmt, quality)
+                datas.append(d)
+                alphas.append(a)
+            yield pd.DataFrame(
+                {"cell": pdf["cell"], "tile_data": datas, "tile_alpha": alphas}
+            )
+
+    return df.mapInPandas(_encode, "cell long, tile_data binary, tile_alpha binary")
+
+
+def limits(tiles_with_keys: DataFrame) -> DataFrame:
+    """Per-zoom bounding rectangle of written tiles
+    (src/processor.rs:567-584 fold as one groupBy)."""
+    return tiles_with_keys.groupBy("zoom").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("tms_y").alias("min_y"),
+        F.max("tms_y").alias("max_y"),
+    )
+
+
+def build_pyramid(
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_zoom: int = 14,
+    min_zoom: int = 0,
+    tile_size: int = 256,
+    levels_per_shuffle: int = 3,
+) -> DataFrame:
+    """Full pipeline: points -> all pyramid levels as (cell, payload).
+
+    The caller encodes/writes (see plans.lineage.write_pyramid for the
+    resumable sink)."""
+    assigned = assign_cells(points, lon_col, lat_col, max_zoom)
+    leaves = rasterize_level(assigned, tile_size)
+    return compose_pyramid(
+        leaves, max_zoom, min_zoom, tile_size, 2, levels_per_shuffle
+    )
