@@ -1,0 +1,830 @@
+"""Driver-contract queries: each engine operator exposed as a named query
+over the driver's parquet tables, with a DuckDB oracle-SQL twin.
+
+Every pair (queries()[k], oracle_sql()[k]) computes the SAME result two
+ways: the Spark side through the engine's operators, the SQL side through
+independent ANSI SQL — the correctness gate of SURVEY.md §5.4.
+
+Cross-engine determinism rules used throughout:
+- hashes: md5 (bit-identical in Spark/DuckDB) + int64 modular arithmetic;
+- money sums: CAST(ROUND(x*100) AS BIGINT) before SUM (order-independent);
+- coordinates: integer microdegrees from closed-form modular arithmetic on
+  doc_id, divided by 1e6 (one exact-deterministic IEEE op per value);
+- ranks: explicit deterministic tie-breaks on unique ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import cells, mercator
+from freemap_tiler_spark.functions import text as T
+from freemap_tiler_spark.operators import dedup, knn, pip_join, pyramid, similarity
+from freemap_tiler_spark.sources.tables import load_table
+
+MAXZ = 14
+
+# ---------------------------------------------------------------------------
+# shared derived-geopoint law (closed form over doc_id; microdegrees)
+# ---------------------------------------------------------------------------
+
+LON_SQL = "(16800000 + (doc_id * 2654435761) % 5800000) / 1000000.0"
+LAT_SQL = "(47700000 + (doc_id * 2246822519) % 1900000) / 1000000.0"
+
+
+def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lon = (F.lit(16800000) + (F.col("doc_id") * F.lit(2654435761)) % 5800000) / 1000000.0
+    lat = (F.lit(47700000) + (F.col("doc_id") * F.lit(2246822519)) % 1900000) / 1000000.0
+    return d.select("doc_id", lon.alias("lon"), lat.alias("lat"))
+
+
+def _tile_sql(z: int = MAXZ) -> tuple[str, str]:
+    tx = mercator.TILE_X_SQL.format(lon=LON_SQL, z=z)
+    ty = mercator.TILE_Y_SQL.format(lat=LAT_SQL, z=z)
+    return tx, ty
+
+
+def _morton_sql(xv: str, yv: str) -> str:
+    """DuckDB expression bit-interleaving two 29-bit vars (names, not
+    expressions — keep them short: the spread doubles the string 5x)."""
+    masks = [
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ]
+
+    def spread(v: str) -> str:
+        e = f"(({v}) & 4294967295)"
+        for s, b in masks:
+            e = f"((({e}) | (({e}) << {s})) & {b})"
+        return e
+
+    return f"({spread(xv)} | ({spread(yv)} << 1))"
+
+
+# ---------------------------------------------------------------------------
+# 1-6: relational operator shapes (SURVEY.md §2.3, §2.4, §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+def q_limits_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 limits fold shape: groupBy + min/max/sum/count over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_price_cents"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_LIMITS_FOLD = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S5 resume probe shape: left anti-join (pending \\ done)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_RESUME_ANTI_JOIN = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_semi_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + broadcast dim join: customers-with-orders per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("active_customers"))
+        .orderBy("n_name")
+    )
+
+
+SQL_SEMI_JOIN_AGG = """
+SELECT n_name, COUNT(*) AS active_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O/J-KNN window shape: top-3 events per user by value."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rank")
+        .orderBy("user_id", "rank")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT user_id, event_id, ROUND(value, 2) AS value, rank FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events) WHERE rank <= 3 ORDER BY user_id, rank
+"""
+
+
+def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-reorder/broadcast shape: order revenue (cents) per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_cents"))
+        .orderBy("n_name")
+    )
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_distinct_union_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ancestor closure: distinct tile count per zoom from leaf keys
+    derived off lineitem (closed-form integer coords)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_orderkey") * F.lit(2654435761)) % 16384
+    y = (F.col("l_partkey") * F.lit(2246822519)) % 16384
+    leaf = li.select(x.alias("x"), y.alias("y"))
+    zdf = spark.range(0, MAXZ + 1).select(F.col("id").cast("int").alias("zoom"))
+    joined = leaf.crossJoin(zdf)
+    key = (
+        F.floor(F.col("x") / F.pow(F.lit(2.0), (MAXZ - F.col("zoom")).cast("double"))).cast("long")
+        * 16384
+        + F.floor(F.col("y") / F.pow(F.lit(2.0), (MAXZ - F.col("zoom")).cast("double"))).cast("long")
+    )
+    return (
+        joined.select("zoom", key.alias("k"))
+        .groupBy("zoom")
+        .agg(F.countDistinct("k").alias("tile_count"))
+        .orderBy("zoom")
+    )
+
+
+SQL_DISTINCT_UNION_CLOSURE = """
+SELECT z.zoom, COUNT(DISTINCT ((x >> (14 - z.zoom)) * 16384 + (y >> (14 - z.zoom)))) AS tile_count
+FROM (SELECT (l_orderkey * 2654435761) % 16384 AS x,
+             (l_partkey * 2246822519) % 16384 AS y FROM lineitem) leaf
+CROSS JOIN (SELECT UNNEST(RANGE(0, 15)) AS zoom) z
+GROUP BY z.zoom ORDER BY z.zoom
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7-11: geo pipeline (extraction, tile assignment, pyramid keys, limits)
+# ---------------------------------------------------------------------------
+
+def q_geo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotag extraction (F-text): build geo text from integer microdegrees
+    (no float printf — cross-engine exact), extract with the engine regexp."""
+    d = load_table(spark, sf_dir, "documents")
+    lat_u = (F.lit(47700000) + (F.col("doc_id") * F.lit(2246822519)) % 1900000).cast("long")
+    lon_u = (F.lit(16800000) + (F.col("doc_id") * F.lit(2654435761)) % 5800000).cast("long")
+
+    def fmt(u):
+        return F.concat(
+            F.floor(u / 1000000).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((u % 1000000).cast("string"), 6, "0"),
+        )
+
+    body = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"),
+        F.lit(" geo:"), fmt(lat_u), F.lit(","), fmt(lon_u), F.lit(" end"),
+    )
+    withtext = d.select("doc_id", body.alias("gtext"))
+    return withtext.select(
+        "doc_id",
+        F.regexp_extract("gtext", T.GEO_PATTERN, 1).alias("lat_s"),
+        F.regexp_extract("gtext", T.GEO_PATTERN, 2).alias("lon_s"),
+    ).orderBy("doc_id")
+
+
+SQL_GEO_EXTRACT = r"""
+WITH g AS (
+  SELECT doc_id,
+         'doc ' || doc_id || ' geo:' ||
+         CAST((47700000 + (doc_id * 2246822519) % 1900000) // 1000000 AS VARCHAR) || '.' ||
+         LPAD(CAST((47700000 + (doc_id * 2246822519) % 1900000) % 1000000 AS VARCHAR), 6, '0') ||
+         ',' ||
+         CAST((16800000 + (doc_id * 2654435761) % 5800000) // 1000000 AS VARCHAR) || '.' ||
+         LPAD(CAST((16800000 + (doc_id * 2654435761) % 5800000) % 1000000 AS VARCHAR), 6, '0') ||
+         ' end' AS gtext
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(gtext, 'geo:(-?\d+\.\d+),(-?\d+\.\d+)', 1) AS lat_s,
+       regexp_extract(gtext, 'geo:(-?\d+\.\d+),(-?\d+\.\d+)', 2) AS lon_s
+FROM g ORDER BY doc_id
+"""
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F1-F6: z14 tile assignment + TMS flip + morton cell id."""
+    g = _docs_geo(spark, sf_dir)
+    tx = mercator.tile_x(F.col("lon"), F.lit(MAXZ))
+    ty = mercator.tile_y(F.col("lat"), F.lit(MAXZ))
+    out = g.select(
+        "doc_id", tx.alias("tx"), ty.alias("ty"),
+        cells.reversed_y(F.lit(MAXZ), ty).alias("tms_y"),
+        cells.cell(F.lit(MAXZ), tx, ty).alias("cell"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _sql_tile_assign() -> str:
+    tx, ty = _tile_sql()
+    morton = _morton_sql("tx", "ty")
+    return f"""
+WITH t AS (SELECT doc_id, {tx} AS tx, {ty} AS ty FROM documents)
+SELECT doc_id, tx, ty, (1::BIGINT << {MAXZ}) - 1 - ty AS tms_y,
+       (({MAXZ}::BIGINT << 58) | {morton}) AS cell
+FROM t ORDER BY doc_id
+"""
+
+
+def q_pyramid_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor closure on REAL tile keys: distinct tiles per zoom 0..14,
+    computed through the engine's cell algebra (ancestor by bit-shift)."""
+    g = _docs_geo(spark, sf_dir)
+    leaf = g.select(
+        cells.cell(
+            F.lit(MAXZ),
+            mercator.tile_x(F.col("lon"), F.lit(MAXZ)),
+            mercator.tile_y(F.col("lat"), F.lit(MAXZ)),
+        ).alias("cell")
+    ).distinct()
+    per_zoom = None
+    cur = leaf
+    for z in range(MAXZ, -1, -1):
+        cnt = cur.select(F.lit(z).alias("zoom"), F.col("cell"))
+        per_zoom = cnt if per_zoom is None else per_zoom.unionByName(cnt)
+        if z > 0:
+            cur = cur.select(cells.parent("cell").alias("cell")).distinct()
+    return per_zoom.groupBy("zoom").agg(F.countDistinct("cell").alias("tile_count")).orderBy("zoom")
+
+
+def _sql_pyramid_keys() -> str:
+    tx, ty = _tile_sql()
+    return f"""
+WITH t AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM documents)
+SELECT z.zoom, COUNT(DISTINCT ((tx >> (14 - z.zoom)) * 16384 + (ty >> (14 - z.zoom)))) AS tile_count
+FROM t CROSS JOIN (SELECT UNNEST(RANGE(0, 15)) AS zoom) z
+GROUP BY z.zoom ORDER BY z.zoom
+"""
+
+
+def q_limits_per_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 limits on real pyramid keys: per-zoom min/max x and TMS y."""
+    g = _docs_geo(spark, sf_dir)
+    leaf = g.select(
+        cells.cell(
+            F.lit(MAXZ),
+            mercator.tile_x(F.col("lon"), F.lit(MAXZ)),
+            mercator.tile_y(F.col("lat"), F.lit(MAXZ)),
+        ).alias("cell")
+    ).distinct()
+    acc = None
+    cur = leaf
+    for z in range(MAXZ, -1, -1):
+        lv = cur.select(F.lit(z).alias("zoom"), cells.cell_x("cell").alias("x"),
+                        cells.reversed_y(F.lit(z), cells.cell_y("cell")).alias("tms_y"))
+        acc = lv if acc is None else acc.unionByName(lv)
+        if z > 0:
+            cur = cur.select(cells.parent("cell").alias("cell")).distinct()
+    return (
+        acc.groupBy("zoom")
+        .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+             F.min("tms_y").alias("min_y"), F.max("tms_y").alias("max_y"))
+        .orderBy("zoom")
+    )
+
+
+def _sql_limits_per_zoom() -> str:
+    tx, ty = _tile_sql()
+    return f"""
+WITH t AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM documents)
+SELECT z.zoom,
+       MIN(tx >> (14 - z.zoom)) AS min_x, MAX(tx >> (14 - z.zoom)) AS max_x,
+       MIN((1::BIGINT << z.zoom) - 1 - (ty >> (14 - z.zoom))) AS min_y,
+       MAX((1::BIGINT << z.zoom) - 1 - (ty >> (14 - z.zoom))) AS max_y
+FROM t CROSS JOIN (SELECT UNNEST(RANGE(0, 15)) AS zoom) z
+GROUP BY z.zoom ORDER BY z.zoom
+"""
+
+
+# convex quad for the PIP oracle (CCW order; half-plane test is exact SQL)
+QUAD_X = [18.0, 21.0, 20.5, 17.5]
+QUAD_Y = [47.9, 48.4, 49.5, 49.0]
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-PIP broadcast join: derived points vs a convex quad polygon.
+    Spark side = the generic even-odd broadcast ray-cast operator; oracle =
+    four half-plane sign tests (valid because the quad is convex)."""
+    g = _docs_geo(spark, sf_dir)
+    polys = [
+        {
+            "poly_id": 1,
+            "tag": "quad",
+            "rings": [
+                (__import__("numpy").asarray(QUAD_X, float),
+                 __import__("numpy").asarray(QUAD_Y, float))
+            ],
+            "bbox": (min(QUAD_X), min(QUAD_Y), max(QUAD_X), max(QUAD_Y)),
+        }
+    ]
+    return (
+        pip_join.pip_join_broadcast(g, polys, "lon", "lat")
+        .select("doc_id", "poly_id")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pip_join() -> str:
+    conds = []
+    n = len(QUAD_X)
+    for i in range(n):
+        x1, y1 = QUAD_X[i], QUAD_Y[i]
+        x2, y2 = QUAD_X[(i + 1) % n], QUAD_Y[(i + 1) % n]
+        conds.append(
+            f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) > 0"
+        )
+    return f"""
+WITH p AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
+SELECT doc_id, 1::BIGINT AS poly_id FROM p
+WHERE {' AND '.join(conds)} ORDER BY doc_id
+"""
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-KNN: 5 nearest derived points per probe (brute operator; window
+    top-k).  Output rank only (floats excluded from the hash)."""
+    g = _docs_geo(spark, sf_dir)
+    probes = g.where(F.col("doc_id") % 500 == 0).select(
+        F.col("doc_id").alias("probe_id"), "lon", "lat"
+    )
+    points = g.select(F.col("doc_id").alias("point_id"), "lon", "lat")
+    return (
+        knn.knn_join_brute(probes, points, k=5)
+        .select("probe_id", "point_id", "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+SQL_KNN = f"""
+WITH p AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
+probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM p WHERE doc_id % 500 = 0),
+cand AS (
+  SELECT probe_id, doc_id AS point_id,
+         SQRT(POW((plon - lon) * COS(RADIANS((plat + lat) / 2.0)), 2) + POW(plat - lat, 2)) AS dist
+  FROM probes CROSS JOIN p),
+ranked AS (
+  SELECT probe_id, point_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, point_id) AS rank
+  FROM cand)
+SELECT probe_id, point_id, rank FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13-19: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.ws_token_count(F.col("text")).alias("ws"),
+                 T.bpe_token_estimate(F.col("text")).alias("bpe"))
+        .groupBy("lang")
+        .agg(F.sum("ws").alias("ws_tokens"), F.sum("bpe").alias("bpe_tokens"),
+             F.count("*").alias("docs"))
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT lang,
+       SUM(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END) AS ws_tokens,
+       SUM(LEN(regexp_extract_all(text, '\w{1,4}|[^\w\s]'))) AS bpe_tokens,
+       COUNT(*) AS docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_SCORE = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS safe,
+         CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         CASE WHEN TRIM(text) = '' THEN 0.0
+              ELSE CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS DOUBLE) END AS n_words,
+         CAST(LEN(regexp_extract_all(LOWER(text),
+              '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b')) AS DOUBLE) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         n_punct / safe AS punct_ratio,
+         n_stop / GREATEST(n_words, 1.0) AS stopword_ratio,
+         1.0 - LEAST(n_punct / safe * 2.0, 0.5) - LEAST(n_digit / safe * 2.0, 0.3)
+             + LEAST(n_stop / GREATEST(n_words, 1.0), 0.4) * 0.5
+             - CASE WHEN n_chars / GREATEST(n_words, 1.0) < 2.0
+                      OR n_chars / GREATEST(n_words, 1.0) > 12.0 THEN 0.3 ELSE 0.0 END AS score
+  FROM f)
+SELECT doc_id, n_words, ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(GREATEST(0.0, LEAST(score, 1.0)), 6) AS quality
+FROM r ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def _sql_lang_id() -> str:
+    cases = []
+    pats = list(T._LANG_STOPWORDS.items())
+    counts = ", ".join(
+        f"LEN(regexp_extract_all(LOWER(text), '{pat}')) AS c_{lang}" for lang, pat in pats
+    )
+    best = "GREATEST(" + ", ".join(f"c_{lang}" for lang, _ in pats) + ")"
+    expr = "'und'"
+    for lang, _ in reversed(pats):
+        expr = f"CASE WHEN best > 0 AND c_{lang} = best THEN '{lang}' ELSE {expr} END"
+    return f"""
+WITH c AS (SELECT doc_id, {counts} FROM documents),
+b AS (SELECT *, {best} AS best FROM c)
+SELECT {expr} AS lang_pred, COUNT(*) AS docs FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with planted duplicates (doc_id%10==0 re-inserted at
+    +10^7) so the operator provably collapses them."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 10000000)
+    )
+    return (
+        dedup.exact_dedup(planted)
+        .select("fingerprint", "keep_id", "dup_count")
+        .orderBy("fingerprint")
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0)
+SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM planted GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    sig = dedup.minhash_signature(F.col("text"), 4)
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+def _sql_minhash_signatures() -> str:
+    hs = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(b, h -> ({dedup.A[i]}::BIGINT * h + {dedup.B[i]}) % {dedup.P})) AS h{i}"
+        for i in range(4)
+    )
+    return rf"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') t
+             FROM documents WHERE doc_id % 50 = 0),
+sh AS (SELECT doc_id, CASE WHEN LEN(t) >= 3
+         THEN LIST_TRANSFORM(RANGE(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [ARRAY_TO_STRING(t, ' ')] END s FROM tok),
+base AS (SELECT doc_id, LIST_TRANSFORM(s, x ->
+         CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % {dedup.P}) b FROM sh)
+SELECT doc_id, {hs} FROM base ORDER BY doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return d.select("doc_id", dedup.simhash(F.col("text"), 16).alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_simhash() -> str:
+    bits = " | ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(16)
+    )
+    return rf"""
+WITH tok AS (SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) w
+             FROM documents WHERE doc_id % 25 = 0),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) h FROM tok)
+SELECT doc_id, ({bits}) AS simhash FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle Jaccard between consecutive doc pairs (id, id+1)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.where((F.col("doc_id") % 100 == 0)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    out = dedup.jaccard_verify(pairs, d, threshold=0.0)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a")
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') t FROM documents),
+sh AS (SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(t) >= 3
+        THEN LIST_TRANSFORM(RANGE(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [ARRAY_TO_STRING(t, ' ')] END) s FROM tok),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 100 = 0)
+SELECT id_a, id_b,
+       ROUND(CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE) /
+             CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa, sb))) AS DOUBLE), 6) AS jaccard
+FROM pairs ORDER BY id_a
+"""
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline on a corpus with planted dups:
+    banded candidate join + exact Jaccard verify >= 0.8."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 10000000)
+    )
+    pairs = dedup.minhash_lsh_pairs(planted, num_hashes=8, bands=4)
+    ver = dedup.jaccard_verify(pairs, planted, threshold=0.8)
+    return ver.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_minhash_lsh_dedup() -> str:
+    r = 2  # 8 hashes / 4 bands
+    mh = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(b, h -> ({dedup.A[i]}::BIGINT * h + {dedup.B[i]}) % {dedup.P})) AS h{i}"
+        for i in range(8)
+    )
+    bands = ", ".join(
+        f"CAST(('0x' || substr(md5(h{b * r} || ',' || h{b * r + 1}), 1, 15)) AS BIGINT) AS b{b}"
+        for b in range(4)
+    )
+    band_pairs = " UNION ".join(
+        f"SELECT l.doc_id AS id_a, r.doc_id AS id_b FROM banded l JOIN banded r"
+        f" ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
+        for b in range(4)
+    )
+    return rf"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0),
+tok AS (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') t FROM planted),
+sh AS (SELECT doc_id, CASE WHEN LEN(t) >= 3
+        THEN LIST_TRANSFORM(RANGE(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [ARRAY_TO_STRING(t, ' ')] END s FROM tok),
+base AS (SELECT doc_id, s, LIST_TRANSFORM(s, x ->
+        CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % {dedup.P}) b FROM sh),
+sigs AS (SELECT doc_id, s, {mh} FROM base),
+banded AS (SELECT doc_id, s, {bands} FROM sigs),
+cand AS ({band_pairs}),
+ver AS (SELECT c.id_a, c.id_b,
+        CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(a.s), LIST_DISTINCT(b.s))) AS DOUBLE) /
+        CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS DOUBLE) AS jaccard
+        FROM cand c JOIN banded a ON a.doc_id = c.id_a JOIN banded b ON b.doc_id = c.id_b)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM ver
+WHERE jaccard >= 0.8 ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20-21: similarity + event-time window
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pr = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(pr, e, k=5)
+    return out.select("probe_id", "vec_id", "rank").orderBy("probe_id", "rank")
+
+
+SQL_SIMILARITY_TOPK = """
+WITH pr AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT probe_id, vec_id,
+         list_dot_product(pv, embedding) /
+         (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(embedding, embedding))) AS cos
+  FROM pr CROSS JOIN embeddings),
+ranked AS (SELECT probe_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+           FROM cand)
+SELECT probe_id, vec_id, rank FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+"""
+
+
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (streaming shape run as batch)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_EVENT_WINDOW = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS events, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle; driver records rows check)
+# ---------------------------------------------------------------------------
+
+def q_pyramid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pyramid (rasterize + compose + encode) over derived points at
+    z<=8; payload sizes rows-only (keys are oracle-checked by
+    pyramid_keys/limits_per_zoom)."""
+    g = _docs_geo(spark, sf_dir)
+    levels = pyramid.build_pyramid(
+        g, "lon", "lat", max_zoom=8, min_zoom=0, tile_size=64, levels_per_shuffle=3
+    )
+    keyed = pyramid.with_tile_keys(levels)
+    return keyed.select(
+        "zoom", "x", "y", "tms_y", F.length("payload").alias("payload_bytes")
+    ).orderBy("zoom", "x", "y")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate NN (approximate by design -> rows-only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pr = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.ann_topk(pr, e, dim=64, k=5, n_planes=8, n_tables=6)
+    return out.select("probe_id", "vec_id", "rank").orderBy("probe_id", "rank")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: fake-decode -> resize -> feature extraction."""
+    from freemap_tiler_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, 200)
+    frames = M.decode_and_resize(media, 64, 64, decode="fake")
+    return M.frame_features(frames).select(
+        "media_id", F.round(F.element_at("features", 1), 4).alias("mean_r"),
+        F.size("features").alias("feat_dim"),
+    ).orderBy("media_id")
+
+
+def q_rasterize_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-RAST vector->raster: polygon masks at z8 (mask stats rows-only)."""
+    from freemap_tiler_spark.operators import rasterize as R
+
+    polys = spark.createDataFrame(
+        [(1, 0, QUAD_X, QUAD_Y, "quad")], pip_join.POLYGON_SCHEMA
+    )
+    masks = R.rasterize_polygons(polys, zoom=8, tile_size=64)
+    return masks.select(
+        "poly_id", "cell", F.length("mask").alias("mask_bytes")
+    ).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "limits_fold": q_limits_fold,
+    "resume_anti_join": q_resume_anti_join,
+    "semi_join_agg": q_semi_join_agg,
+    "window_topk": q_window_topk,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "distinct_union_closure": q_distinct_union_closure,
+    "geo_extract": q_geo_extract,
+    "tile_assign": q_tile_assign,
+    "pyramid_keys": q_pyramid_keys,
+    "limits_per_zoom": q_limits_per_zoom,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "similarity_topk": q_similarity_topk,
+    "event_window": q_event_window,
+    # rows-only (no oracle): approximate / binary-payload / plumbing ops
+    "pyramid_build": q_pyramid_build,
+    "ann_topk": q_ann_topk,
+    "media_features": q_media_features,
+    "rasterize_polygon": q_rasterize_polygon,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "limits_fold": SQL_LIMITS_FOLD,
+        "resume_anti_join": SQL_RESUME_ANTI_JOIN,
+        "semi_join_agg": SQL_SEMI_JOIN_AGG,
+        "window_topk": SQL_WINDOW_TOPK,
+        "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+        "distinct_union_closure": SQL_DISTINCT_UNION_CLOSURE,
+        "geo_extract": SQL_GEO_EXTRACT,
+        "tile_assign": _sql_tile_assign(),
+        "pyramid_keys": _sql_pyramid_keys(),
+        "limits_per_zoom": _sql_limits_per_zoom(),
+        "pip_join": _sql_pip_join(),
+        "knn": SQL_KNN,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": SQL_QUALITY_SCORE,
+        "lang_id": _sql_lang_id(),
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "minhash_signatures": _sql_minhash_signatures(),
+        "simhash": _sql_simhash(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
+        "similarity_topk": SQL_SIMILARITY_TOPK,
+        "event_window": SQL_EVENT_WINDOW,
+    }

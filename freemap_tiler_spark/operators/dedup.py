@@ -1,0 +1,207 @@
+"""Deduplication operators for the web-text corpus.
+
+First-class training-data-pipeline components (no reference counterpart;
+the engine-side requirement comes from the 100 TB web-corpus use case):
+
+- exact dedup          — md5 fingerprint groupBy
+- word-shingle MinHash — signature + banded LSH candidate pairs + exact
+                         Jaccard verify
+- SimHash              — 32-bit sign-of-sum over token hashes, near-dup by
+                         small Hamming distance
+- n-gram Jaccard       — exact pairwise Jaccard on candidate pairs
+
+Design constraint: every hash is built from ``md5`` (identical in Spark and
+DuckDB) + modular arithmetic, so the DuckDB oracle can recompute signatures
+bit-for-bit — dedup correctness is checked end-to-end, not rows-only.
+
+Scale notes: exact dedup is one shuffle on a 60-bit key.  MinHash-LSH is
+the standard shape: explode shingles (narrow), per-doc signature agg (one
+shuffle on doc_id — map-side combined), explode bands (narrow), self-join
+on band bucket (one shuffle on a well-distributed 60-bit bucket key; AQE
+splits hot buckets), exact verify on the (small) candidate set.  No
+all-pairs product ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions.text import md5_fingerprint
+
+# modulus/coefficients for the minhash family h_i(x) = (a_i * x + b_i) mod P
+P = 2147483647  # 2^31 - 1 (Mersenne prime): products fit in int64
+A = [1103515245, 1299709, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301]
+B = [12345, 7919, 104729, 1299721, 15485917, 32452867, 49979693, 67867979]
+
+
+def token_hash(col) -> Column:
+    """60-bit md5-based token hash (engine/oracle-identical)."""
+    return md5_fingerprint(col)
+
+
+def shingles(text_col, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows.
+
+    Pure Column math: split -> transform over a sequence of offsets.
+    Documents shorter than n tokens produce a single shingle of all tokens.
+    """
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    m = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
+    return F.when(m >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(text_col, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """array<long> MinHash signature: per hash i, min over shingles of
+    (A[i] * (md5_60(shingle) mod P) + B[i]) mod P."""
+    sh = shingles(text_col, shingle_n)
+    base = F.transform(sh, lambda s: token_hash(s) % P)
+    sigs = [
+        F.array_min(F.transform(base, lambda h: (F.lit(A[i]) * h + F.lit(B[i])) % P))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical text.
+    Returns (fingerprint, keep_id, dup_count)."""
+    return (
+        df.select(md5_fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+
+    bands must divide num_hashes; band bucket = md5 hash of the band's
+    signature slice.  Self-join on (band_idx, bucket) — the classic
+    LSH join; dedup pairs found in multiple bands.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    md5_fingerprint(
+                        F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps >= threshold.
+    Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    withs = (
+        pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        withs.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text_col, bits: int = 32) -> Column:
+    """SimHash: bit b of the result = sign of sum over tokens of
+    (+1 if bit b of token_hash set else -1).  Pure Column math
+    (aggregate over the token array)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    hashes = F.transform(toks, token_hash)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out.bitwiseOR(F.when(vote >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate blocking: split the simhash into (max_hamming+1) bit blocks —
+    by pigeonhole, any pair within max_hamming shares at least one exact
+    block; self-join per block then verify with bit_count(xor).
+    """
+    n_blocks = max_hamming + 1
+    bb = bits // n_blocks
+    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("sh"))
+    blocked = sh.select(
+        "_id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("sh", i * bb).bitwiseAND(F.lit((1 << bb) - 1)).alias("key"),
+            )
+            for i in range(n_blocks)
+        ])).alias("b"),
+    ).select("_id", "sh", "b.blk", "b.key")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.key") == F.col("r.key"))
+               & (F.col("l._id") < F.col("r._id")))
+        .where(ham <= max_hamming)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+    )

@@ -1,0 +1,134 @@
+"""kNN lookups: cell-neighborhood candidate join + window top-k.
+
+No counterpart in the reference (SURVEY.md §2.5); required by BASELINE.json
+("kNN lookups").  The design reuses the engine's cell index:
+
+1. probes and points are assigned to cells at ``zoom`` (Column math);
+2. each probe joins points in its own cell **and the 8 ring cells**
+   (explode of 9 neighbor offsets — Column math, no UDF);
+3. distance column (squared planar / haversine) — Column math;
+4. ``Window.partitionBy(probe).orderBy(dist)`` + ``row_number() <= k``.
+
+Probes whose 3x3 neighborhood holds fewer than k points are re-run through
+a widened ring (iterative fallback, ``expand_rounds``); at production zoom
+choices (cell ~ expected kNN radius) the fallback triggers on <1% of probes.
+
+``knn_join_brute`` is the exact O(N*M) baseline used as the test oracle and
+for small dimension tables (broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import cells, mercator
+
+
+def _with_cell_xy(df: DataFrame, lon_col: str, lat_col: str, zoom: int, px: str) -> DataFrame:
+    return df.select(
+        "*",
+        mercator.tile_x(F.col(lon_col), F.lit(zoom)).alias(f"{px}tx"),
+        mercator.tile_y(F.col(lat_col), F.lit(zoom)).alias(f"{px}ty"),
+    )
+
+
+def sq_dist(lon1, lat1, lon2, lat2):
+    """Squared equirectangular-scaled distance (deg^2, lat-corrected) —
+    monotone in true distance at city scale, cheap Column math."""
+    coslat = F.cos(F.radians((F.col(lat1) + F.col(lat2)) / 2.0))
+    dx = (F.col(lon1) - F.col(lon2)) * coslat
+    dy = F.col(lat1) - F.col(lat2)
+    return dx * dx + dy * dy
+
+
+def knn_join(
+    probes: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    zoom: int = 12,
+    probe_id: str = "probe_id",
+    point_id: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    expand_rounds: int = 2,
+) -> DataFrame:
+    """Returns (probe_id, point_id, dist, rank) with rank 1..k per probe.
+
+    probes: (probe_id, lon, lat); points: (point_id, lon, lat).
+    Ties broken deterministically by point_id.
+    """
+    pr = _with_cell_xy(
+        probes.select(probe_id, F.col(lon_col).alias("_plon"), F.col(lat_col).alias("_plat")),
+        "_plon", "_plat", zoom, "p",
+    )
+    pt = _with_cell_xy(
+        points.select(point_id, F.col(lon_col).alias("_qlon"), F.col(lat_col).alias("_qlat")),
+        "_qlon", "_qlat", zoom, "q",
+    ).withColumn("qcell", cells.cell(F.lit(zoom), F.col("qtx"), F.col("qty"))).drop("qtx", "qty")
+
+    w = Window.partitionBy(probe_id).orderBy("dist", point_id)
+    remaining = pr
+    results = None
+    ring = 1
+    for _ in range(expand_rounds + 1):
+        # explode the (2r+1)^2 neighbor offsets — pure Column math
+        offs = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in range(-ring, ring + 1)
+                for dy in range(-ring, ring + 1)
+            ]
+        )
+        n = mercator.zoom_n(zoom)
+        cand = remaining.select("*", F.explode(offs).alias("o")).select(
+            "*",
+            cells.cell(
+                F.lit(zoom),
+                ((F.col("ptx") + F.col("o.dx")) + n) % n,  # wrap antimeridian
+                F.greatest(F.lit(0).cast("long"), F.least(F.col("pty") + F.col("o.dy"), n - 1)),
+            ).alias("qcell"),
+        ).drop("o").dropDuplicates([probe_id, "qcell"])
+        joined = cand.join(pt, "qcell").withColumn(
+            "dist", F.sqrt(sq_dist("_plon", "_plat", "_qlon", "_qlat"))
+        )
+        ranked = (
+            joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(probe_id, point_id, "dist", "rank",
+                    F.count("*").over(Window.partitionBy(probe_id)).alias("_found"))
+        )
+        full = ranked.where(F.col("_found") >= k).drop("_found")
+        results = full if results is None else results.unionByName(full)
+        under = ranked.where(F.col("_found") < k).select(probe_id).distinct()
+        remaining = remaining.join(under, probe_id, "left_semi")
+        # lazily cheap: if no underfilled probes remain the next join is empty
+        ring *= 2
+        if ring > (1 << zoom):
+            break
+    # probes still underfilled after the last round are dropped (documented
+    # approximation; pick zoom so cell size ~ expected kNN radius).
+    return results
+
+
+def knn_join_brute(
+    probes: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    probe_id: str = "probe_id",
+    point_id: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Exact kNN via broadcast cross join — oracle / small-dim path."""
+    pr = probes.select(probe_id, F.col(lon_col).alias("_plon"), F.col(lat_col).alias("_plat"))
+    pt = points.select(point_id, F.col(lon_col).alias("_qlon"), F.col(lat_col).alias("_qlat"))
+    joined = pr.crossJoin(F.broadcast(pt)).withColumn(
+        "dist", F.sqrt(sq_dist("_plon", "_plat", "_qlon", "_qlat"))
+    )
+    w = Window.partitionBy(probe_id).orderBy("dist", point_id)
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, point_id, "dist", "rank")
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline component (engine-side requirement; no reference
+counterpart).  Two paths:
+
+- **Brute-force cosine top-k** — exact baseline: broadcast the (small)
+  probe set, one narrow pass over the corpus computing dots via
+  ``F.zip_with`` + ``F.aggregate`` (JVM-side higher-order functions — no
+  Python), window top-k.  Linear scan: right answer for <=10^4 probes over
+  any corpus size (one shuffle for the window).
+
+- **LSH-bucketed ANN (random hyperplane / SRP)** — scale path: each vector
+  gets a sign bucket from ``n_planes`` deterministic pseudo-random
+  hyperplanes (closed-form coefficients — no RNG, reproducible across
+  runs/cluster sizes); candidates = bucket collisions (multi-probe over
+  ``n_tables`` independent tables), exact cosine re-rank on candidates.
+
+Also provides embedding-cosine near-duplicate pairs (dedup by embedding).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(v) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+
+def dot(u, v) -> Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def cosine(u, v) -> Column:
+    return dot(u, v) / (_norm(u) * _norm(v))
+
+
+def brute_force_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    probe_id: str = "probe_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (probe_id, vec_id, cos, rank)."""
+    pr = probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))
+    co = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    joined = co.crossJoin(F.broadcast(pr)).withColumn("cos", cosine("_pv", "_cv"))
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), corpus_id)
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, corpus_id, "cos", "rank")
+    )
+
+
+def _plane_coeff(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: coefficient j =
+    sin(1 + j + dim*plane + dim*32*table) — closed form, no RNG state."""
+    return [math.sin(1.0 + j + dim * plane + dim * 32 * table) for j in range(dim)]
+
+
+def srp_bucket(vec, dim: int, n_planes: int = 12, table: int = 0) -> Column:
+    """Sign-random-projection bucket id (int, n_planes bits)."""
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        coeff = _plane_coeff(table, p, dim)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in coeff]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        out = out.bitwiseOR(F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def ann_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    probe_id: str = "probe_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket equi-join over n_tables tables, exact
+    cosine re-rank of the candidate union.  Recall grows with n_tables;
+    candidates stay ~corpus/2^n_planes per table per probe."""
+    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+        rows = df.select(
+            F.col(idc),
+            F.col(vec_col).alias("_v"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        srp_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ])
+            ).alias("b"),
+        )
+        return rows.select(idc, "_v", "b.tbl", "b.bkt")
+
+    pr = bucketed(probes, probe_id).withColumnRenamed("_v", "_pv")
+    co = bucketed(corpus, corpus_id).withColumnRenamed("_v", "_cv")
+    cand = (
+        pr.join(co, ["tbl", "bkt"])
+        .select(probe_id, corpus_id, "_pv", "_cv")
+        .dropDuplicates([probe_id, corpus_id])
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), corpus_id)
+    return (
+        cand.withColumn("cos", cosine("_pv", "_cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, corpus_id, "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (id_a < id_b);
+    SRP-bucketed candidates, exact verify."""
+    co = corpus.select(F.col(corpus_id).alias("_id"), F.col(vec_col).alias("_v"))
+    bk = co.select(
+        "_id", "_v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col("_v"), dim, n_planes, t).alias("bkt"))
+            for t in range(n_tables)
+        ])).alias("b"),
+    ).select("_id", "_v", "b.tbl", "b.bkt")
+    l, r = bk.alias("l"), bk.alias("r")
+    return (
+        l.join(r, (F.col("l.tbl") == F.col("r.tbl")) & (F.col("l.bkt") == F.col("r.bkt"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                F.col("l._v").alias("_va"), F.col("r._v").alias("_vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine("_va", "_vb"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,175 @@
+"""Resumable pyramid writes with per-level lineage commits.
+
+The reference's resumability (--continue-file, src/args.rs:24-26;
+per-tile SELECT probe src/processor.rs:136-224; empty markers
+src/processor.rs:186-190) re-expressed as deterministic batch jobs +
+a commit table — the Spark-native way (SURVEY.md §2.9):
+
+- each zoom level is written to its own parquet directory
+  ``{root}/tiles/zoom={z}/`` (idempotent overwrite);
+- after a level lands, a row is appended to the ``_lineage`` table:
+  (level, row_count, min_cell, max_cell — the tile-range watermark —
+  wall seconds, status) — the "per-partition lineage (tile-range
+  watermarks + row counts)" required by BASELINE.json north_star;
+- resume = read ``_lineage``, find the deepest committed level, seed the
+  compose loop from its parquet instead of recomputing (finer than the
+  reference: it re-probes every tile, we skip whole committed levels);
+- the resume "probe" for partially-written levels is the set-at-a-time
+  **left anti-join** (J1, src/processor.rs:136-171 -> SURVEY.md §2.1 S5).
+
+Also writes the MBTiles-equivalent ``metadata`` table (name/format/
+minzoom/maxzoom/bounds, src/schema.rs:43-68) and ``limits`` (per-zoom
+min/max x / tms_y JSON, src/main.rs:351-364).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.operators import pyramid as P
+
+LINEAGE_SCHEMA = (
+    "level int, row_count long, min_cell long, max_cell long, seconds double, status string"
+)
+
+
+def _lineage_dir(root: str) -> str:
+    return os.path.join(root, "_lineage")
+
+
+def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
+    path = _lineage_dir(root)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def committed_levels(spark: SparkSession, root: str) -> set[int]:
+    lin = read_lineage(spark, root)
+    if lin is None:
+        return set()
+    return {
+        r[0]
+        for r in lin.where(F.col("status") == "committed").select("level").distinct().collect()
+    }
+
+
+def _commit_level(
+    spark: SparkSession, root: str, level: int, df_written: DataFrame, seconds: float
+) -> None:
+    stats = df_written.agg(
+        F.count("*").alias("n"), F.min("cell").alias("mn"), F.max("cell").alias("mx")
+    ).first()
+    row = [(level, stats["n"], stats["mn"], stats["mx"], seconds, "committed")]
+    spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(_lineage_dir(root))
+
+
+def level_path(root: str, level: int) -> str:
+    return os.path.join(root, "tiles", f"zoom={level}")
+
+
+def write_pyramid(
+    spark: SparkSession,
+    leaves: DataFrame,
+    root: str,
+    max_zoom: int,
+    min_zoom: int = 0,
+    tile_size: int = 256,
+    bands: int = 2,
+    levels_per_shuffle: int = 3,
+    resume: bool = True,
+) -> dict:
+    """Build + write the pyramid level group by level group, committing
+    lineage after each; resume skips committed groups.
+
+    Returns {level: row_count} for the run (committed-and-skipped levels
+    report their recorded counts)."""
+    done = committed_levels(spark, root) if resume else set()
+    out: dict[int, int] = {}
+
+    # seed: deepest committed level, else write the leaves
+    z = max_zoom
+    if max_zoom in done:
+        current = spark.read.parquet(level_path(root, max_zoom))
+    else:
+        t0 = time.time()
+        leaves.write.mode("overwrite").parquet(level_path(root, max_zoom))
+        current = spark.read.parquet(level_path(root, max_zoom))
+        _commit_level(spark, root, max_zoom, current, time.time() - t0)
+    out[max_zoom] = current.count()
+
+    while z > min_zoom:
+        k = min(levels_per_shuffle, z - min_zoom)
+        group = list(range(z - k, z))  # levels produced by this compose
+        if all(lv in done for lv in group):
+            z -= k
+            current = spark.read.parquet(level_path(root, z))
+            continue
+        t0 = time.time()
+        produced = P.compose_pyramid(
+            current, z, z - k, tile_size, bands, levels_per_shuffle=k
+        ).where(P.cells.cell_zoom("cell") < z)
+        produced = produced.persist()
+        for lv in sorted(group, reverse=True):
+            lv_df = produced.where(P.cells.cell_zoom("cell") == lv)
+            lv_df.write.mode("overwrite").parquet(level_path(root, lv))
+            written = spark.read.parquet(level_path(root, lv))
+            _commit_level(spark, root, lv, written, time.time() - t0)
+            out[lv] = written.count()
+        produced.unpersist()
+        z -= k
+        current = spark.read.parquet(level_path(root, z))
+    return out
+
+
+def read_pyramid(spark: SparkSession, root: str) -> DataFrame:
+    """All committed levels as one DataFrame (cell, payload)."""
+    return spark.read.parquet(os.path.join(root, "tiles"))
+
+
+def write_metadata(
+    spark: SparkSession,
+    root: str,
+    tiles_with_keys: DataFrame,
+    name: str = "pyramid",
+    fmt: str = "png",
+    min_zoom: int = 0,
+    max_zoom: int = 14,
+    bounds: tuple | None = None,
+) -> None:
+    """metadata + limits tables (src/schema.rs:43-68, src/main.rs:351-364)."""
+    lim = P.limits(tiles_with_keys).collect()
+    limits_json = json.dumps(
+        {
+            str(r["zoom"]): {
+                "min_x": r["min_x"], "max_x": r["max_x"],
+                "min_y": r["min_y"], "max_y": r["max_y"],
+            }
+            for r in lim
+        },
+        sort_keys=True,
+    )
+    rows = [
+        ("name", name),
+        ("format", fmt),
+        ("minzoom", str(min_zoom)),
+        ("maxzoom", str(max_zoom)),
+        ("bounds", ",".join(str(b) for b in bounds) if bounds else ""),
+        ("limits", limits_json),
+    ]
+    spark.createDataFrame(rows, "name string, value string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "metadata"))
+
+
+def resume_anti_join(pending: DataFrame, done_tiles: DataFrame) -> DataFrame:
+    """The set-at-a-time resume probe (J1): pending \\ done, keyed by cell.
+    Rows in done with empty payload are 'known-empty' markers and still
+    count as done (src/processor.rs:186-190)."""
+    return pending.join(done_tiles.select("cell"), "cell", "left_anti")

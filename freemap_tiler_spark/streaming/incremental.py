@@ -1,0 +1,83 @@
+"""Incremental pyramid maintenance (micro-batch, lineage-driven).
+
+New corpus rows arrive (a new WARC drop); only the leaf tiles they touch —
+and those tiles' ancestor chains — need recomputation.  This is the
+reference's resume path (src/processor.rs:136-224) turned into an
+incremental-view-maintenance job:
+
+1. rasterize ONLY the new points' leaf tiles, merging with the stored
+   leaf payloads for those cells (add counts, or recompute from the unioned
+   point set — we recompute: counts aren't mergeable once clipped to u8);
+2. the dirty set at level z-1 = distinct parents of dirty level-z cells —
+   the ancestor closure A5 (src/main.rs:208-229), now restricted to the
+   dirty subset;
+3. per level: recompute dirty parents from their (4) children — the stored
+   clean siblings are read back via a semi-join — and overwrite only those
+   rows (copy-on-write per level, committed to lineage).
+
+Cost is O(dirty leaves * depth), not O(pyramid) — the property that makes
+daily 100 TB corpus refreshes feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import cells
+from freemap_tiler_spark.operators import pyramid as P
+from freemap_tiler_spark.plans import lineage as L
+
+
+def incremental_update(
+    spark: SparkSession,
+    all_points: DataFrame,
+    new_points: DataFrame,
+    root: str,
+    max_zoom: int,
+    min_zoom: int = 0,
+    tile_size: int = 256,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> dict:
+    """Recompute only the tiles affected by ``new_points``.
+
+    ``all_points`` must already include the new rows (leaf tiles are
+    recomputed from the full point set of each dirty cell).  Returns
+    {level: dirty_tile_count}."""
+    dirty = (
+        P.assign_cells(new_points, lon_col, lat_col, max_zoom)
+        .select("cell")
+        .distinct()
+    )
+    assigned = P.assign_cells(all_points, lon_col, lat_col, max_zoom)
+    dirty_leaf_points = assigned.join(dirty, "cell", "left_semi")
+    new_leaves = P.rasterize_level(dirty_leaf_points, tile_size)
+
+    out: dict[int, int] = {}
+    current_dirty = new_leaves  # (cell, payload) freshly recomputed
+    for z in range(max_zoom, min_zoom - 1, -1):
+        stored = spark.read.parquet(L.level_path(root, z))
+        dirty_cells = current_dirty.select("cell").distinct()
+        merged = stored.join(dirty_cells, "cell", "left_anti").unionByName(
+            current_dirty
+        )
+        merged.write.mode("overwrite").parquet(L.level_path(root, z) + ".tmp")
+        tmp = spark.read.parquet(L.level_path(root, z) + ".tmp")
+        tmp.write.mode("overwrite").parquet(L.level_path(root, z))
+        out[z] = dirty_cells.count()
+        if z == min_zoom:
+            break
+        # recompute dirty parents from stored children (clean siblings
+        # read back via semi-join on parent)
+        parent_cells = dirty_cells.select(cells.parent("cell").alias("pcell")).distinct()
+        level_full = spark.read.parquet(L.level_path(root, z))
+        kids = level_full.join(
+            parent_cells,
+            cells.parent(level_full["cell"]) == parent_cells["pcell"],
+            "left_semi",
+        )
+        current_dirty = P.compose_pyramid(
+            kids, z, z - 1, tile_size, 2, levels_per_shuffle=1
+        ).where(cells.cell_zoom("cell") == z - 1)
+    return out
