@@ -93,24 +93,25 @@ def write_pyramid(
     done = committed_levels(spark, root) if resume else set()
     out: dict[int, int] = {}
 
-    # seed: deepest committed level, else write the leaves
-    z = max_zoom
+    # seed: the DEEPEST level of the contiguous committed prefix
+    # [z, max_zoom] — resume restarts exactly there, never rewriting a
+    # committed level (finer-grained than the reference's per-tile probe)
     if max_zoom in done:
-        current = spark.read.parquet(level_path(root, max_zoom))
+        z = max_zoom
+        while z - 1 >= min_zoom and (z - 1) in done:
+            z -= 1
+        current = spark.read.parquet(level_path(root, z))
     else:
+        z = max_zoom
         t0 = time.time()
         leaves.write.mode("overwrite").parquet(level_path(root, max_zoom))
         current = spark.read.parquet(level_path(root, max_zoom))
         _commit_level(spark, root, max_zoom, current, time.time() - t0)
-    out[max_zoom] = current.count()
+    out[z] = current.count()
 
     while z > min_zoom:
         k = min(levels_per_shuffle, z - min_zoom)
         group = list(range(z - k, z))  # levels produced by this compose
-        if all(lv in done for lv in group):
-            z -= k
-            current = spark.read.parquet(level_path(root, z))
-            continue
         t0 = time.time()
         produced = P.compose_pyramid(
             current, z, z - k, tile_size, bands, levels_per_shuffle=k
@@ -125,6 +126,12 @@ def write_pyramid(
         produced.unpersist()
         z -= k
         current = spark.read.parquet(level_path(root, z))
+
+    # report committed-and-skipped levels from their lineage counts
+    lin = read_lineage(spark, root)
+    if lin is not None:
+        for r in lin.where(F.col("status") == "committed").collect():
+            out.setdefault(r["level"], r["row_count"])
     return out
 
 

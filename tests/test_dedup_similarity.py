@@ -1,0 +1,63 @@
+"""Dedup + similarity: planted-duplicate recall, operator agreement."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.operators import dedup, similarity
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.unionByName(
+        docs.where("doc_id % 10 = 0").withColumn("doc_id", F.col("doc_id") + 100000)
+    ).cache()
+
+
+def test_exact_dedup_finds_planted(planted):
+    ed = dedup.exact_dedup(planted)
+    assert ed.where("dup_count > 1").count() == 50
+    # keep_id is always the original (lowest) id
+    assert ed.where("dup_count > 1").where("keep_id >= 100000").count() == 0
+
+
+def test_minhash_lsh_full_recall_on_exact_dups(planted):
+    pairs = dedup.minhash_lsh_pairs(planted)
+    ver = dedup.jaccard_verify(pairs, planted, threshold=0.99)
+    found = {(r.id_a, r.id_b) for r in ver.collect()}
+    expected = {(i, i + 100000) for i in range(0, 500, 10)}
+    assert expected <= found  # identical docs MUST collide in every band
+
+
+def test_simhash_identical_docs_distance_zero(planted):
+    sd = dedup.simhash_near_dups(planted, max_hamming=0)
+    found = {(r.id_a, r.id_b) for r in sd.collect()}
+    expected = {(i, i + 100000) for i in range(0, 500, 10)}
+    assert expected <= found
+
+
+def test_jaccard_self_is_one(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    pairs = docs.select(F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    ver = dedup.jaccard_verify(pairs, docs, threshold=0.0)
+    assert ver.where("jaccard != 1.0").count() == 0
+
+
+def test_brute_topk_rank1_is_self(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pr = emb.where("vec_id < 5").selectExpr("vec_id as probe_id", "embedding")
+    bf = similarity.brute_force_topk(pr, emb, k=3)
+    r1 = bf.where("rank = 1").collect()
+    assert all(r.probe_id == r.vec_id for r in r1)  # self-similarity == 1
+
+
+def test_ann_subset_quality(spark, sf_dir):
+    """ANN results are genuine (cos matches brute values for same pairs)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pr = emb.where("vec_id < 5").selectExpr("vec_id as probe_id", "embedding")
+    ann = similarity.ann_topk(pr, emb, dim=64, k=3, n_planes=6, n_tables=4)
+    rows = ann.collect()
+    assert len(rows) > 0
+    assert all(r.probe_id != r.vec_id or abs(r.cos - 1.0) < 1e-6 for r in rows)

@@ -1,0 +1,64 @@
+"""Resume semantics: kill/resume byte-identity (SURVEY §5.3d)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from freemap_tiler_spark.contract import _docs_geo
+from freemap_tiler_spark.operators import pyramid as P
+from freemap_tiler_spark.plans import lineage as L
+
+pytestmark = pytest.mark.spark
+
+
+def _leaves(spark, sf_dir, z=5, t=32):
+    g = _docs_geo(spark, sf_dir)
+    return P.rasterize_level(P.assign_cells(g, "lon", "lat", z), t)
+
+
+def test_write_then_resume_noop(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="pyr_")
+    try:
+        leaves = _leaves(spark, sf_dir)
+        first = L.write_pyramid(spark, leaves, root, 5, 0, 32)
+        assert set(first) == set(range(6))
+        # second run: everything committed -> only reads, same counts
+        second = L.write_pyramid(spark, leaves, root, 5, 0, 32)
+        assert second[5] == first[5]
+        lin = L.read_lineage(spark, root)
+        assert lin.where("status = 'committed'").count() >= 6
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crash_resume_byte_identical(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="pyr_")
+    try:
+        leaves = _leaves(spark, sf_dir)
+        L.write_pyramid(spark, leaves, root, 5, 0, 32)
+        full1 = {r.cell: bytes(r.payload) for r in L.read_pyramid(spark, root).collect()}
+        # simulate crash after level 3: drop levels 0-2 and their lineage
+        lin = L.read_lineage(spark, root).where("level >= 3").toPandas()
+        shutil.rmtree(f"{root}/_lineage")
+        spark.createDataFrame(lin).write.mode("overwrite").parquet(f"{root}/_lineage")
+        for z in range(0, 3):
+            shutil.rmtree(L.level_path(root, z))
+        out = L.write_pyramid(spark, leaves, root, 5, 0, 32)
+        assert set(out) == set(range(6))
+        # committed levels 3-5 were NOT recommitted (one lineage row each);
+        # only the crashed levels 0-2 gained fresh commits
+        lin = L.read_lineage(spark, root).groupBy("level").count().collect()
+        assert {r["level"]: r["count"] for r in lin} == {z: 1 for z in range(6)}
+        full2 = {r.cell: bytes(r.payload) for r in L.read_pyramid(spark, root).collect()}
+        assert full1 == full2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_resume_anti_join(spark, sf_dir):
+    g = _docs_geo(spark, sf_dir)
+    pending = P.assign_cells(g, "lon", "lat", 5).select("cell").distinct()
+    done = pending.limit(3)
+    remaining = L.resume_anti_join(pending, done)
+    assert remaining.count() == pending.count() - 3
