@@ -1,0 +1,175 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "tiles_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-stage seconds...}, "sf": ...,
+     "tiles_per_sec": ..., "join_rows_per_sec": ...}
+
+Stages mirror the reference's five instrumented metrics
+(src/time_track.rs:14-20): extract (≈select), rasterize (≈warp), compose,
+encode, write (≈insert) — plus the spatial-join stages the north metric
+adds (pip, knn, dedup, similarity).
+
+The geotagged corpus is generated in-job (deterministic, FIXTURES.md §1);
+row count scales with the sf dir (sf0.1 -> 100k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from freemap_tiler_spark.functions import text as T
+from freemap_tiler_spark.operators import dedup, knn, pip_join, pyramid, similarity
+from freemap_tiler_spark.plans import lineage as L
+from freemap_tiler_spark.session import get_spark
+from freemap_tiler_spark.sources.corpus import geotagged_corpus
+
+MAX_ZOOM = 14
+TILE = 64  # bench payload size (density tiles; 64px keeps shuffle ~MB-scale)
+
+
+def parse_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = parse_sf(sf_dir)
+    n_corpus = max(10_000, int(1_000_000 * sf))
+
+    spark = get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    q: dict[str, float] = {}
+    t_all = time.time()
+
+    # --- extract: corpus scan + geotag regexp (the select/extract stage)
+    t0 = time.time()
+    corpus = geotagged_corpus(spark, n_corpus)
+    pts = corpus.select(
+        T.geo_lon("text").alias("lon"), T.geo_lat("text").alias("lat")
+    ).dropna().persist()
+    n_pts = pts.count()
+    q["extract"] = time.time() - t0
+
+    # --- rasterize: leaf tiles at max_zoom (the warp stage)
+    t0 = time.time()
+    assigned = pyramid.assign_cells(pts, "lon", "lat", MAX_ZOOM)
+    leaves = pyramid.rasterize_level(assigned, TILE).persist()
+    n_leaves = leaves.count()
+    q["rasterize"] = time.time() - t0
+
+    # --- compose: full pyramid max_zoom-1 .. 0 (the compose stage)
+    t0 = time.time()
+    levels = pyramid.compose_pyramid(
+        leaves, MAX_ZOOM, 0, TILE, 2, levels_per_shuffle=5
+    ).persist()
+    n_tiles = levels.count()
+    q["compose"] = time.time() - t0
+
+    # --- encode: PNG every tile (the encode stage)
+    t0 = time.time()
+    encoded = pyramid.encode_level(levels, "png", tile_size=TILE, bands=2)
+    n_enc = encoded.count()
+    q["encode"] = time.time() - t0
+
+    # --- write: parquet sink partitioned by zoom (the insert stage)
+    t0 = time.time()
+    out_dir = tempfile.mkdtemp(prefix="bench_tiles_")
+    # repartition to one file-group per core: bounded file count (plain
+    # partitionBy from N shuffle partitions writes N x zooms tiny files)
+    pyramid.with_tile_keys(levels).drop("cell").repartition(cpus).write.mode(
+        "overwrite"
+    ).partitionBy("zoom").parquet(out_dir)
+    q["write"] = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- pip join: points vs polygon layer (broadcast path)
+    t0 = time.time()
+    polys = [
+        {"poly_id": i + 1, "tag": f"p{i}", "rings": [r], "bbox": bb}
+        for i, (r, bb) in enumerate(_bench_polys())
+    ]
+    pip_rows = pip_join.pip_join_broadcast(pts, polys).count()
+    q["pip_join"] = time.time() - t0
+
+    # --- knn: 1k probes against the corpus
+    t0 = time.time()
+    probes = pts.limit(1000).withColumn("probe_id", F.monotonically_increasing_id())
+    points = pts.withColumn("point_id", F.monotonically_increasing_id())
+    knn_rows = knn.knn_join(probes, points, k=5, zoom=12).count()
+    q["knn"] = time.time() - t0
+
+    # --- dedup: minhash-lsh near-dup pairs on the corpus text
+    t0 = time.time()
+    docs = corpus.select(F.col("url").alias("doc_id_s"), "text").withColumn(
+        "doc_id", F.xxhash64("doc_id_s")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    dedup_rows = pairs.count()
+    q["dedup_lsh"] = time.time() - t0
+
+    # --- similarity: brute top-k over driver embeddings
+    t0 = time.time()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pr = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    sim_rows = similarity.brute_force_topk(pr, emb, k=10).count()
+    q["similarity_topk"] = time.time() - t0
+
+    total = time.time() - t_all
+    pyramid_secs = q["rasterize"] + q["compose"]
+    join_secs = q["pip_join"] + q["knn"]
+    result = {
+        "metric": "tiles_per_sec",
+        "value": round(n_tiles / pyramid_secs, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "corpus_rows": n_corpus,
+        "points": n_pts,
+        "leaf_tiles": n_leaves,
+        "total_tiles": n_tiles,
+        "encoded_tiles": n_enc,
+        "tiles_per_sec": round(n_tiles / pyramid_secs, 2),
+        "join_rows_per_sec": round((pip_rows + knn_rows) / join_secs, 2),
+        "pip_rows": pip_rows,
+        "knn_rows": knn_rows,
+        "dedup_pairs": dedup_rows,
+        "similarity_rows": sim_rows,
+        "total_sec": round(total, 2),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+def _bench_polys():
+    import numpy as np
+
+    quads = [
+        ([17.0, 18.2, 18.0, 16.9], [48.0, 48.1, 49.2, 49.0]),
+        ([19.0, 21.0, 21.0, 20.0, 20.0, 19.0], [48.0, 48.0, 48.5, 48.5, 49.5, 49.5]),
+        ([16.9, 22.5, 22.5, 16.9], [47.8, 47.8, 48.2, 48.2]),
+    ]
+    out = []
+    for xs, ys in quads:
+        r = (np.asarray(xs, float), np.asarray(ys, float))
+        out.append((r, (min(xs), min(ys), max(xs), max(ys))))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,12 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def png_encode(img: np.ndarray) -> bytes:
-    """Encode (H, W, 2|4) u8 as PNG (GA8 / RGBA8), filter 0, zlib level 9."""
+def png_encode(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode (H, W, 2|4) u8 as PNG (GA8 / RGBA8), filter 0.
+
+    zlib level 6 (vs the reference's CompressionType::Best,
+    src/processor.rs:543-547): a size/throughput trade the reference exposes
+    as a knob; semantics (lossless roundtrip) unchanged."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, bands = img.shape
     colortype = _COLORTYPE[bands]
@@ -60,7 +64,7 @@ def png_encode(img: np.ndarray) -> bytes:
     raw = np.empty((h, 1 + w * bands), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 per scanline
     raw[:, 1:] = img.reshape(h, w * bands)
-    idat = zlib.compress(raw.tobytes(), 9)
+    idat = zlib.compress(raw.tobytes(), level)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

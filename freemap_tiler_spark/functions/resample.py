@@ -82,8 +82,8 @@ def resize_lanczos(img: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
     h, w, c = arr.shape
     wy = _weights(h, dst_h)  # (dst_h, h)
     wx = _weights(w, dst_w)  # (dst_w, w)
-    tmp = np.einsum("oh,hwc->owc", wy, arr, optimize=True)
-    out = np.einsum("ow,hwc->hoc", wx, tmp, optimize=True)
+    tmp = np.tensordot(wy, arr, axes=(1, 0))          # (dst_h, w, c) via BLAS
+    out = np.tensordot(wx, tmp, axes=(1, 1)).transpose(1, 0, 2)  # (dst_h, dst_w, c)
     out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
     return out[:, :, 0] if squeeze else out
 

@@ -91,8 +91,24 @@ def minhash_lsh_pairs(
     LSH join; dedup pairs found in multiple bands.
     """
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
+    # materialize the md5 shingle hashes ONCE as a column, then derive all
+    # num_hashes signatures from it — Catalyst does not share the (expensive)
+    # md5-per-shingle subexpression across transform() calls otherwise
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: token_hash(s) % P).alias("_b"),
+    )
+    def _perm(i: int):
+        # one-arg lambda factory: a default-arg lambda would be seen by
+        # F.transform as (element, index) and get the array index injected
+        return lambda h: (F.lit(A[i]) * h + F.lit(B[i])) % P
+
+    sig = base.select(
+        "_id",
+        *[
+            F.array_min(F.transform("_b", _perm(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
     )
     banded = sig.select(
         "_id",
@@ -101,7 +117,7 @@ def minhash_lsh_pairs(
                 F.struct(
                     F.lit(b).alias("band"),
                     md5_fingerprint(
-                        F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                        F.concat_ws(",", *[F.col(f"_h{b * r + j}") for j in range(r)])
                     ).alias("bucket"),
                 )
                 for b in range(bands)

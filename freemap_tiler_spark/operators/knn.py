@@ -70,6 +70,7 @@ def knn_join(
     w = Window.partitionBy(probe_id).orderBy("dist", point_id)
     remaining = pr
     results = None
+    to_unpersist = []
     ring = 1
     for _ in range(expand_rounds + 1):
         # explode the (2r+1)^2 neighbor offsets — pure Column math
@@ -97,17 +98,23 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select(probe_id, point_id, "dist", "rank",
                     F.count("*").over(Window.partitionBy(probe_id)).alias("_found"))
-        )
+        ).persist()  # each round is consumed twice (full + under split)
+        to_unpersist.append(ranked)
         full = ranked.where(F.col("_found") >= k).drop("_found")
         results = full if results is None else results.unionByName(full)
         under = ranked.where(F.col("_found") < k).select(probe_id).distinct()
         remaining = remaining.join(under, probe_id, "left_semi")
-        # lazily cheap: if no underfilled probes remain the next join is empty
+        if under.isEmpty():  # early exit: every probe satisfied
+            break
         ring *= 2
         if ring > (1 << zoom):
             break
     # probes still underfilled after the last round are dropped (documented
     # approximation; pick zoom so cell size ~ expected kNN radius).
+    results = results.persist()
+    results.count()
+    for df in to_unpersist:
+        df.unpersist()
     return results
 
 

@@ -68,24 +68,50 @@ def assign_cells(points: DataFrame, lon_col: str, lat_col: str, zoom: int) -> Da
 def rasterize_level(points_with_cells: DataFrame, tile_size: int = 256) -> DataFrame:
     """(cell, fx, fy) points -> (cell, payload) leaf tiles.
 
-    One group per leaf tile; inside the group a single np.bincount bins all
-    points (vectorized, no per-row Python)."""
+    Two JVM-side aggregations, then ONE Arrow-batched scalar UDF:
+
+      1. count per (cell, pixel)   — groupBy with map-side combine; the
+         shuffle carries (cell, pix, count), not raw points;
+      2. collect per cell          — (pix, count) pairs into one array row;
+      3. scalar pandas UDF         — builds each tile's byte payload.
+
+    Unlike a groupBy(cell).applyInPandas (one Arrow batch per TILE — group
+    dispatch dominates for millions of small tiles), the scalar UDF packs
+    ~2048 tiles per Arrow batch.  Shuffle volume is sparse (non-empty pixels
+    only), independent of tile_size^2."""
     t = tile_size
+    # global pixel index -> within-tile pixel: fx in [x, x+1) so
+    # px = floor(fx * t) - x * t; clamp guards the fx==x+1 edge
+    px = F.least(
+        F.greatest(F.floor(F.col("fx") * t) - F.col("_tx") * t, F.lit(0)), F.lit(t - 1)
+    )
+    py = F.least(
+        F.greatest(F.floor(F.col("fy") * t) - F.col("_ty") * t, F.lit(0)), F.lit(t - 1)
+    )
+    counted = (
+        points_with_cells.withColumn("_tx", cells.cell_x("cell"))
+        .withColumn("_ty", cells.cell_y("cell"))
+        .select("cell", (py * t + px).alias("pix"))
+        .groupBy("cell", "pix")
+        .count()
+    )
+    packed = counted.groupBy("cell").agg(
+        F.collect_list(F.struct("pix", "count")).alias("pixels")
+    )
 
-    def _rasterize(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf["cell"].iloc[0])
-        _, x, y = cells.np_cell_zxy(np.array([cell]))
-        px = np.floor((pdf["fx"].to_numpy() - float(x[0])) * t).astype(np.int64)
-        py = np.floor((pdf["fy"].to_numpy() - float(y[0])) * t).astype(np.int64)
-        px = np.clip(px, 0, t - 1)
-        py = np.clip(py, 0, t - 1)
-        counts = np.bincount(py * t + px, minlength=t * t)
-        img = np.zeros((t * t, 2), dtype=np.uint8)
-        img[:, 0] = np.clip(counts, 0, 255)
-        img[:, 1] = np.where(counts > 0, 255, 0)
-        return pd.DataFrame({"cell": [cell], "payload": [img.tobytes()]})
+    @F.pandas_udf("binary")
+    def _paint(pixels: pd.Series) -> pd.Series:
+        out = []
+        for pxs in pixels:
+            img = np.zeros((t * t, 2), dtype=np.uint8)
+            idx = np.array([p["pix"] for p in pxs], dtype=np.int64)
+            cnt = np.array([p["count"] for p in pxs], dtype=np.int64)
+            img[idx, 0] = np.clip(cnt, 0, 255)
+            img[idx, 1] = 255
+            out.append(img.tobytes())
+        return pd.Series(out)
 
-    return points_with_cells.groupBy("cell").applyInPandas(_rasterize, PAYLOAD_SCHEMA)
+    return packed.select("cell", _paint("pixels").alias("payload"))
 
 
 def _compose_subtree(

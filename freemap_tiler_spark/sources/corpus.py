@@ -45,11 +45,28 @@ def geotagged_corpus(spark: SparkSession, n_rows: int, partitions: int | None = 
     lat = F.when(hot, hot_lat).otherwise(F.lit(BBOX[1]) + u2 * (BBOX[3] - BBOX[1]))
     has_geo = (i % 5) != 4
     lang = F.element_at(F.array(*[F.lit(lg) for lg in LANGS]), (i % 4).cast("int") + 1)
-    body = F.format_string(
-        "page %d about maps and tiles location geo:%.6f,%.6f end of page", i, lat, lon
+    # id-derived pseudo-words make shingle sets doc-specific (realistic
+    # diversity for dedup/LSH benchmarks; a shared template would make
+    # every doc a near-duplicate of every other)
+    # distinct modulus per slot: two docs share ALL slots only when
+    # i == i' mod lcm(moduli) (~1e48) — never; single-word overlaps remain
+    vocab = F.concat_ws(
+        " ",
+        *[
+            F.format_string("w%d", (i * F.lit(p)) % m)
+            for p, m in [
+                (7919, 9973), (104729, 9967), (1299709, 9949), (15485863, 9941),
+                (32452843, 9931), (49979687, 9929), (67867967, 9923),
+                (86028121, 9907), (104395301, 9901), (122949823, 9887),
+                (141650939, 9883), (160481183, 9871),
+            ]
+        ],
     )
-    text = F.when(has_geo, body).otherwise(
-        F.format_string("page %d about maps and tiles with no location marker", i)
+    body = F.format_string("p%d geo:%.6f,%.6f", i, lat, lon)
+    text = F.concat(
+        F.when(has_geo, body).otherwise(F.format_string("p%d nogeo", i)),
+        F.lit(" "),
+        vocab,
     )
     return df.select(
         F.format_string("https://example.org/%s/%08d", lang, i).alias("url"),

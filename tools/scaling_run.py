@@ -1,0 +1,129 @@
+"""Scaling-efficiency evidence run (BASELINE.md protocol).
+
+Runs the IDENTICAL job on IDENTICAL input at two parallelism levels
+(local[N] and local[4N]) and reports throughput at both + efficiency
+(thr_4N / thr_N) / 4 — the sandbox stand-in for the north_rule's
+N -> 4N executor criterion (no real cluster in this sandbox).
+
+The job is the engine's headline computation at a compute-dominated size:
+  corpus (in-job, deterministic) -> extract -> rasterize z15 -> compose
+  pyramid z15..0 -> encode -> write, plus the PIP join + kNN stage.
+
+Usage: python tools/scaling_run.py [rows] [n_small] [n_big]
+Writes BENCH/scaling.json and prints the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+WORKER = """
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from freemap_tiler_spark.session import get_spark
+from freemap_tiler_spark.functions import text as T
+from freemap_tiler_spark.operators import knn, pip_join, pyramid
+from freemap_tiler_spark.sources.corpus import geotagged_corpus
+
+rows, cpus, tile, maxz = (int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+spark.sparkContext.setLogLevel("ERROR")
+q = {}
+
+pts = geotagged_corpus(spark, rows).select(
+    T.geo_lon("text").alias("lon"), T.geo_lat("text").alias("lat")).dropna().persist()
+n_pts = pts.count()  # warms the corpus + extraction; timed as extract
+t0 = time.time()
+
+leaves = pyramid.rasterize_level(pyramid.assign_cells(pts, "lon", "lat", maxz), tile).persist()
+n_leaves = leaves.count()
+q["rasterize"] = time.time() - t0
+
+t0 = time.time()
+levels = pyramid.compose_pyramid(leaves, maxz, 0, tile, 2, levels_per_shuffle=5).persist()
+n_tiles = levels.count()
+q["compose"] = time.time() - t0
+
+t0 = time.time()
+n_enc = pyramid.encode_level(levels, "png", tile_size=tile, bands=2).count()
+q["encode"] = time.time() - t0
+
+t0 = time.time()
+out = tempfile.mkdtemp(prefix="scale_")
+pyramid.with_tile_keys(levels).drop("cell").repartition(cpus).write.mode(
+    "overwrite").partitionBy("zoom").parquet(out)
+q["write"] = time.time() - t0
+shutil.rmtree(out, ignore_errors=True)
+
+import numpy as np
+qx = [17.0, 21.5, 21.0, 16.9]; qy = [47.9, 48.0, 49.4, 49.3]
+polys = [{"poly_id": 1, "tag": "q", "rings": [(np.asarray(qx), np.asarray(qy))],
+          "bbox": (min(qx), min(qy), max(qx), max(qy))}]
+t0 = time.time()
+pip_rows = pip_join.pip_join_broadcast(pts, polys).count()
+q["pip_join"] = time.time() - t0
+
+t0 = time.time()
+probes = pts.limit(2000).withColumn("probe_id", F.monotonically_increasing_id())
+points = pts.withColumn("point_id", F.monotonically_increasing_id())
+knn_rows = knn.knn_join(probes, points, k=5, zoom=14).count()
+q["knn"] = time.time() - t0
+
+pyr_sec = q["rasterize"] + q["compose"] + q["encode"] + q["write"]
+join_sec = q["pip_join"] + q["knn"]
+print(json.dumps({
+    "cpus": cpus, "rows": rows, "points": n_pts, "leaf_tiles": n_leaves,
+    "total_tiles": n_tiles, "stages": {k: round(v, 2) for k, v in q.items()},
+    "pyramid_sec": round(pyr_sec, 2), "join_sec": round(join_sec, 2),
+    "tiles_per_sec": round(n_tiles / pyr_sec, 2),
+    "join_rows_per_sec": round((pip_rows + knn_rows) / join_sec, 2),
+    "pip_rows": pip_rows, "knn_rows": knn_rows,
+}))
+spark.stop()
+"""
+
+
+def run(rows: int, cpus: int, tile: int, maxz: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(rows), str(cpus), str(tile), str(maxz)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    tile = 128
+    maxz = 15
+
+    small = run(rows, n_small, tile, maxz)
+    big = run(rows, n_big, tile, maxz)
+    eff_tiles = (big["tiles_per_sec"] / small["tiles_per_sec"]) / (n_big / n_small)
+    eff_join = (big["join_rows_per_sec"] / small["join_rows_per_sec"]) / (n_big / n_small)
+    result = {
+        "protocol": f"identical job, identical input, local[{n_small}] vs local[{n_big}]",
+        "rows": rows, "tile": tile, "max_zoom": maxz,
+        "small": small, "big": big,
+        "scaling_efficiency_tiles": round(eff_tiles, 3),
+        "scaling_efficiency_join": round(eff_join, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
