@@ -168,9 +168,12 @@ def compose_pyramid(
     while z > to_zoom:
         k = min(levels_per_shuffle, z - to_zoom)
         anc = cells.ancestor(F.col("cell"), k).alias("anc")
+        # persist per round: the output feeds BOTH the union and the next
+        # round — without it Spark re-runs the (expensive) UDF stage once
+        # per consumer, turning 3 rounds into ~6 executions
         produced = current.groupBy(anc).applyInPandas(
             _make_compose(k), PAYLOAD_SCHEMA
-        )
+        ).persist()
         all_levels = all_levels.unionByName(produced)
         current = produced.where(cells.cell_zoom("cell") == z - k)
         z -= k

@@ -1,0 +1,149 @@
+"""The full reference-equivalent pipeline: one call == one freemap-tiler run.
+
+Mirrors the reference CLI's lifecycle (src/main.rs try_main, SURVEY §3.1) —
+every stage is the Spark-native counterpart, same order, same semantics:
+
+    reference                                   here
+    ---------                                   ----
+    GDAL open + band validation                 raster_ops.validate_blocks
+    GeoJSON polygon parse + 4326->3857          sources.geojson
+    source bbox from geo-transform              sources.raster_blocks.source_bbox
+    leaf tile enumeration (bbox cover)          raster_ops.tile_cover
+    polygon prune (rayon filter)                pip tile prune (broadcast)
+    megatile warp + nodata + slice              raster_ops.mask_nodata + warp_blocks_to_tiles
+    resume probe (per-tile SELECT)              lineage.resume_anti_join (set-at-a-time)
+    pyramid compose (per-tile scheduler)        pyramid.compose_pyramid (k levels/shuffle)
+    encode + single-writer insert               store.write_tiles (parallel committer)
+    limits fold + metadata                      lineage.write_metadata
+    stats thread                                plans.metrics.MetricsSink
+
+Args mirror the reference's CLI knobs (src/args.rs:13-70): max_zoom,
+tile_size, format/quality, warp-zoom-offset -> levels_per_shuffle,
+bounding polygon, continue-file -> resume root.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from freemap_tiler_spark.functions import cells
+from freemap_tiler_spark.functions.mercator import np_merc_to_lonlat
+from freemap_tiler_spark.operators import pyramid as P
+from freemap_tiler_spark.operators import raster_ops
+from freemap_tiler_spark.operators.pip_join import points_in_polygon
+from freemap_tiler_spark.plans import lineage as L
+from freemap_tiler_spark.plans import store
+from freemap_tiler_spark.plans.metrics import MetricsSink
+from freemap_tiler_spark.sources.geojson import parse_geojson_polygon
+from freemap_tiler_spark.sources.raster_blocks import source_bbox
+
+
+def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:
+    """J3/P2: keep tiles whose bounds rectangle intersects the polygon —
+    approximated (exactly like a rasterized prune) by testing the tile's
+    center + 4 corners; a tile is kept if any probe point is inside OR the
+    polygon has a vertex inside the tile bbox (symmetric condition)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    all_x = np.concatenate([r[0] for r in rings_lonlat])
+    all_y = np.concatenate([r[1] for r in rings_lonlat])
+
+    def _keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            z, x, y = cells.np_cell_zxy(pdf["cell"].to_numpy())
+            n = (np.int64(1) << z).astype(float)
+            # tile lon/lat bbox
+            lon0 = x / n * 360.0 - 180.0
+            lon1 = (x + 1) / n * 360.0 - 180.0
+            lat1 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y / n))))
+            lat0 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (y + 1) / n))))
+            keep = np.zeros(len(pdf), dtype=bool)
+            # probe: center + corners inside polygon
+            for fx, fy in ((0.5, 0.5), (0, 0), (1, 0), (0, 1), (1, 1)):
+                px = lon0 + (lon1 - lon0) * fx
+                py = lat0 + (lat1 - lat0) * fy
+                keep |= points_in_polygon(px, py, rings_lonlat)
+            # probe: any polygon vertex inside tile bbox
+            for i in range(len(pdf)):
+                if keep[i]:
+                    continue
+                keep[i] = bool(
+                    ((all_x >= lon0[i]) & (all_x <= lon1[i])
+                     & (all_y >= lat0[i]) & (all_y <= lat1[i])).any()
+                )
+            yield pdf[keep]
+
+    return cover.mapInPandas(_keep, "cell long, x long, y long")
+
+
+def run_tiler(
+    spark: SparkSession,
+    blocks: DataFrame,
+    root: str,
+    max_zoom: int,
+    min_zoom: int = 0,
+    tile_size: int = 256,
+    fmt: str = "png",
+    quality: int = 85,
+    levels_per_shuffle: int = 3,
+    polygon: str | dict | None = None,
+    resume: bool = True,
+    resampling: str = "bilinear",
+    insert_empty: bool = False,
+) -> dict:
+    """blocks table -> tile store + metadata + lineage.  Returns per-level
+    row counts.  The complete reference-equivalent run."""
+    m = MetricsSink(spark, root)
+
+    layout = raster_ops.validate_blocks(blocks)
+
+    with m.stage("rasterize") as h:
+        masked = raster_ops.mask_nodata(blocks)
+        leaves = raster_ops.warp_blocks_to_tiles(
+            masked, max_zoom, tile_size, resampling
+        )
+        if polygon is not None:
+            rings = parse_geojson_polygon(polygon)
+            bbox = source_bbox(blocks)
+            cover = raster_ops.tile_cover(spark, bbox, max_zoom)
+            kept = _prune_cover_by_polygon(cover, rings)
+            leaves = leaves.join(kept.select("cell"), "cell", "left_semi")
+        leaves = leaves.persist()
+        h["rows"] = leaves.count()
+
+    with m.stage("compose") as h:
+        counts = L.write_pyramid(
+            spark, leaves, root, max_zoom, min_zoom, tile_size,
+            bands=blocks.select("bands").first()[0],
+            levels_per_shuffle=levels_per_shuffle, resume=resume,
+        )
+        h["rows"] = sum(counts.values())
+
+    with m.stage("encode_write") as h:
+        levels = L.read_pyramid(spark, root)
+        if insert_empty:
+            bbox = source_bbox(blocks)
+            cover = raster_ops.tile_cover(spark, bbox, max_zoom)
+            levels = levels.unionByName(raster_ops.empty_markers(cover, levels))
+        store.write_tiles(
+            spark, levels.where("length(payload) > 0"), root, fmt, quality,
+            tile_size, blocks.select("bands").first()[0],
+        )
+        h["rows"] = sum(counts.values())
+
+    with m.stage("metadata"):
+        keyed = P.with_tile_keys(L.read_pyramid(spark, root))
+        bbox = source_bbox(blocks)
+        lon0, lat0 = np_merc_to_lonlat(bbox[0], bbox[1])
+        lon1, lat1 = np_merc_to_lonlat(bbox[2], bbox[3])
+        L.write_metadata(
+            spark, root, keyed, name="tiles", fmt=fmt, min_zoom=min_zoom,
+            max_zoom=max_zoom,
+            bounds=(float(lon0), float(lat0), float(lon1), float(lat1)),
+        )
+    m.flush()
+    leaves.unpersist()
+    return counts

@@ -19,6 +19,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # pin BLAS to one thread per task: Spark owns the parallelism; unpinned
+    # OpenBLAS would let every Python worker fan out to all machine cores,
+    # destroying task-level scaling accounting (and oversubscribing at 32x32)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

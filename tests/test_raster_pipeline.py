@@ -1,0 +1,161 @@
+"""Raster path parity: validation, nodata, warp, full pipeline, store."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import cells
+from freemap_tiler_spark.operators import raster_ops
+from freemap_tiler_spark.pipeline import run_tiler
+from freemap_tiler_spark.plans import store
+from freemap_tiler_spark.sources.geojson import parse_geojson_polygon, polygon_df
+from freemap_tiler_spark.sources.raster_blocks import block_pixels, raster_blocks, source_bbox
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    return raster_blocks(spark, grid=2, width=64, height=64, bands=4).cache()
+
+
+def test_validate_blocks(spark, blocks):
+    assert raster_ops.validate_blocks(blocks) == "RGBA"
+    bad = blocks.withColumn("bands", F.lit(5))
+    with pytest.raises(ValueError):
+        raster_ops.validate_blocks(bad)
+
+
+def test_block_pixels_law():
+    img = block_pixels(1, 2, 8, 8, 4)
+    # band k at global pixel (x,y) = (x*3 + y*5 + k*17) % 256 except alpha
+    assert img[0, 0, 0] == (8 * 3 + 16 * 5 + 0) % 256
+    assert img[3, 2, 2] == ((8 + 2) * 3 + (16 + 3) * 5 + 2 * 17) % 256
+
+
+def test_mask_nodata(spark):
+    df = raster_blocks(spark, grid=1, width=8, height=8, bands=4).withColumn(
+        "nodata", F.array(F.lit(0), F.lit(None).cast("int"), F.lit(None).cast("int"),
+                          F.lit(None).cast("int"))
+    )
+    out = raster_ops.mask_nodata(df).first()
+    img = np.frombuffer(out.data, np.uint8).reshape(-1, 4)
+    src = block_pixels(0, 0, 8, 8, 4).reshape(-1, 4)
+    hit = src[:, 0] == 0
+    assert (img[hit] == 0).all()
+    assert (img[~hit] == src[~hit]).all()
+
+
+def test_warp_identity_preserves_values(spark, blocks):
+    """EPSG:3857 fast path: tile pixels come from the closed-form law."""
+    tiles = raster_ops.warp_blocks_to_tiles(blocks, zoom=9, tile_size=32)
+    rows = tiles.collect()
+    assert len(rows) > 0
+    covered = {(int(z), int(x), int(y)) for z, x, y in zip(*cells.np_cell_zxy(
+        np.array([r.cell for r in rows])))}
+    assert all(z == 9 for z, _, _ in covered)
+    # at least one tile has nonzero data
+    assert any(np.frombuffer(r.payload, np.uint8).max() > 0 for r in rows)
+
+
+def test_warp_4326_path(spark):
+    df = raster_blocks(spark, grid=1, width=32, height=32, bands=2, crs="EPSG:4326")
+    # place geo_transform in degrees over Slovakia
+    df = df.withColumn(
+        "geo_transform",
+        F.array(F.lit(17.0), F.lit(0.01), F.lit(0.0), F.lit(49.0), F.lit(0.0), F.lit(-0.01)),
+    )
+    tiles = raster_ops.warp_blocks_to_tiles(df, zoom=10, tile_size=32)
+    assert tiles.count() > 0
+
+
+def test_tile_cover_counts(spark):
+    from freemap_tiler_spark.functions import mercator
+
+    bbox = (-mercator.ORIGIN, -mercator.ORIGIN, mercator.ORIGIN, mercator.ORIGIN)
+    assert raster_ops.tile_cover(spark, bbox, 3).count() == 64
+
+
+def test_empty_markers(spark, blocks):
+    cover = raster_ops.tile_cover(spark, source_bbox(blocks), 9)
+    tiles = raster_ops.warp_blocks_to_tiles(blocks, 9, 32)
+    markers = raster_ops.empty_markers(cover, tiles)
+    assert markers.count() == cover.count() - tiles.count()
+    assert markers.where(F.length("payload") > 0).count() == 0
+
+
+def test_geojson_parse_and_df(spark):
+    gj = {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[17.0, 48.0], [18.0, 48.0], [18.0, 49.0], [17.0, 49.0], [17.0, 48.0]],
+                    [[17.2, 48.2], [17.4, 48.2], [17.4, 48.4], [17.2, 48.4], [17.2, 48.2]],
+                ],
+            },
+        }],
+    }
+    rings = parse_geojson_polygon(gj)
+    assert len(rings) == 2 and len(rings[0][0]) == 5
+    df = polygon_df(spark, rings)
+    assert df.count() == 2
+
+
+def test_full_pipeline_with_resume_and_store(spark, blocks):
+    root = tempfile.mkdtemp(prefix="tiler_")
+    try:
+        counts = run_tiler(
+            spark, blocks, root, max_zoom=9, min_zoom=6, tile_size=32,
+            levels_per_shuffle=2,
+        )
+        assert set(counts) == {9, 8, 7, 6}
+        st = store.read_tiles(spark, root)
+        assert st.count() == sum(counts.values())
+        # store schema matches the MBTiles shape
+        assert {f.name for f in st.schema.fields} >= {"zoom", "x", "tms_y", "tile_data"}
+        # point lookup (resume probe shape)
+        any_row = st.first()
+        hit = store.lookup_tile(spark, root, any_row.zoom, any_row.x, any_row.tms_y)
+        assert hit is not None and bytes(hit.tile_data) == bytes(any_row.tile_data)
+        # metadata written
+        meta = {r.name: r.value for r in spark.read.parquet(f"{root}/metadata").collect()}
+        assert meta["format"] == "png" and "limits" in meta
+        # metrics written
+        from freemap_tiler_spark.plans.metrics import MetricsSink
+        summary = {r.stage for r in MetricsSink(spark, root).summary().collect()}
+        assert {"rasterize", "compose", "encode_write", "metadata"} <= summary
+        # rerun == resume: counts unchanged
+        counts2 = run_tiler(
+            spark, blocks, root, max_zoom=9, min_zoom=6, tile_size=32,
+            levels_per_shuffle=2,
+        )
+        assert counts2 == counts
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pipeline_polygon_prune(spark, blocks):
+    root = tempfile.mkdtemp(prefix="tiler_")
+    try:
+        # tiny polygon inside the raster: fewer leaf tiles than unpruned
+        # raster extent is lon 16.80-16.91, lat 48.95-49.03; prune to a corner
+        gj = {"type": "Polygon", "coordinates": [[
+            [16.80, 48.95], [16.84, 48.95], [16.84, 48.98], [16.80, 48.98], [16.80, 48.95]]]}
+        counts = run_tiler(
+            spark, blocks, root, max_zoom=9, min_zoom=8, tile_size=32,
+            polygon=gj, resume=False,
+        )
+        root2 = tempfile.mkdtemp(prefix="tiler2_")
+        counts_all = run_tiler(
+            spark, blocks, root2, max_zoom=9, min_zoom=8, tile_size=32, resume=False,
+        )
+        assert counts[9] < counts_all[9]
+        shutil.rmtree(root2, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
