@@ -755,6 +755,46 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_warp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 warp: synthetic raster blocks -> z9 leaf tiles (identity-CRS
+    resample path); keys + payload size (binary payload -> rows-only)."""
+    from freemap_tiler_spark.operators import raster_ops
+    from freemap_tiler_spark.sources.raster_blocks import raster_blocks
+
+    blocks = raster_blocks(spark, grid=2, width=64, height=64, bands=4)
+    tiles = raster_ops.warp_blocks_to_tiles(blocks, zoom=9, tile_size=32)
+    return tiles.select(
+        cells.cell_zoom("cell").alias("zoom"),
+        cells.cell_x("cell").alias("x"),
+        cells.cell_y("cell").alias("y"),
+        F.length("payload").alias("payload_bytes"),
+    ).orderBy("x", "y")
+
+
+def q_tile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 store: full run_tiler (validate -> mask -> warp -> pyramid ->
+    encode -> store) over synthetic blocks; the MBTiles-shape table."""
+    import shutil
+    import tempfile
+
+    from freemap_tiler_spark.pipeline import run_tiler
+    from freemap_tiler_spark.plans import store
+    from freemap_tiler_spark.sources.raster_blocks import raster_blocks
+
+    blocks = raster_blocks(spark, grid=2, width=64, height=64, bands=4)
+    root = tempfile.mkdtemp(prefix="contract_store_")
+    try:
+        run_tiler(spark, blocks, root, max_zoom=9, min_zoom=7, tile_size=32,
+                  levels_per_shuffle=2, resume=False)
+        out = store.read_tiles(spark, root).select(
+            "zoom", "x", "tms_y", F.length("tile_data").alias("data_bytes")
+        ).orderBy("zoom", "x", "tms_y")
+        out = spark.createDataFrame(out.toPandas())  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_rasterize_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R-RAST vector->raster: polygon masks at z8 (mask stats rows-only)."""
     from freemap_tiler_spark.operators import rasterize as R
@@ -800,6 +840,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "rasterize_polygon": q_rasterize_polygon,
+    "warp_tiles": q_warp_tiles,
+    "tile_store": q_tile_store,
 }
 
 

@@ -181,7 +181,11 @@ def compose_pyramid(
 
 
 def with_tile_keys(df: DataFrame) -> DataFrame:
-    """Expand cell -> (zoom, x, y, tms_y) columns (JVM-side bit math)."""
+    """Expand cell -> (zoom, x, y, tms_y) columns (JVM-side bit math).
+
+    Drops pre-existing key columns first (a pyramid read back from the
+    zoom-partitioned store already carries the zoom partition column)."""
+    df = df.drop("zoom", "x", "y", "tms_y")
     return df.select(
         "*",
         cells.cell_zoom("cell").alias("zoom"),

@@ -108,8 +108,14 @@ def main() -> None:
     tile = 128
     maxz = 15
 
-    small = run(rows, n_small, tile, maxz)
-    big = run(rows, n_big, tile, maxz)
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+
+    def best(cpus: int) -> dict:
+        runs = [run(rows, cpus, tile, maxz) for _ in range(trials)]
+        return max(runs, key=lambda r: r["tiles_per_sec"])
+
+    small = best(n_small)
+    big = best(n_big)
     eff_tiles = (big["tiles_per_sec"] / small["tiles_per_sec"]) / (n_big / n_small)
     eff_join = (big["join_rows_per_sec"] / small["join_rows_per_sec"]) / (n_big / n_small)
     result = {
