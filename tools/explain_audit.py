@@ -1,0 +1,100 @@
+"""Plan-quality audit: .explain("formatted") on headline queries, asserting
+the physical properties the engine is designed around.
+
+Checks (written to BENCH/explain_audit.md):
+- parquet scans show PushedFilters / pruned ReadSchema (never read `html`
+  for text-only queries);
+- broadcast joins are actually broadcast (BroadcastHashJoin);
+- tile algebra stays inside WholeStageCodegen (no Python in key paths);
+- partition pruning on the zoom-partitioned store (PartitionFilters).
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from freemap_tiler_spark import contract  # noqa: E402
+from freemap_tiler_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    report = ["# Explain audit\n"]
+    failures = []
+
+    def check(name: str, plan: str, must: list[str], must_not: list[str] = ()):
+        ok = all(m in plan for m in must) and not any(m in plan for m in must_not)
+        line = f"- **{name}**: {'OK' if ok else 'FAIL'} (must={must}, must_not={list(must_not)})"
+        report.append(line)
+        if not ok:
+            failures.append(name)
+            report.append("```\n" + plan[:4000] + "\n```")
+
+    # 1. text query never reads html; filter pushed down
+    q = contract.q_token_count(spark, sf)
+    p = plan_of(q)
+    check("token_count: html pruned from scan", p, ["ReadSchema"], ["html"])
+
+    # 2. broadcast dim join is a BroadcastHashJoin
+    p = plan_of(contract.q_broadcast_join_agg(spark, sf))
+    check("broadcast_join_agg: broadcast hash join", p, ["BroadcastHashJoin"])
+
+    # 3. anti join present as such
+    p = plan_of(contract.q_resume_anti_join(spark, sf))
+    check("resume_anti_join: LeftAnti", p, ["LeftAnti"])
+
+    # 4. tile assignment is pure JVM expressions — no Python eval nodes
+    p = plan_of(contract.q_tile_assign(spark, sf))
+    check("tile_assign: no python eval in plan", p, ["Project"],
+          ["BatchEvalPython", "ArrowEvalPython"])
+
+    # 5. doc-filtered query pushes the predicate into the scan
+    from freemap_tiler_spark.sources.tables import load_table
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") % 50 == 0).select("doc_id")
+    p = plan_of(d)
+    check("filtered scan: PushedFilters present", p, ["PushedFilters"])
+
+    # 6. store read with zoom predicate -> partition filters
+    import shutil
+    import tempfile
+
+    from freemap_tiler_spark.pipeline import run_tiler
+    from freemap_tiler_spark.plans import store
+    from freemap_tiler_spark.sources.raster_blocks import raster_blocks
+
+    root = tempfile.mkdtemp(prefix="audit_")
+    try:
+        blocks = raster_blocks(spark, grid=2, width=64, height=64, bands=4)
+        run_tiler(spark, blocks, root, max_zoom=9, min_zoom=7, tile_size=32,
+                  levels_per_shuffle=2, resume=False)
+        p = plan_of(store.read_tiles(spark, root).where(F.col("zoom") == 8))
+        check("store read: partition pruning on zoom", p, ["PartitionFilters"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    report.append(f"\nFAILURES: {failures or 'none'}")
+    out = "\n".join(report)
+    with open("BENCH/explain_audit.md", "w") as f:
+        f.write(out)
+    print(out)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
