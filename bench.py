@@ -32,6 +32,7 @@ from freemap_tiler_spark.operators import dedup, knn, pip_join, pyramid, similar
 from freemap_tiler_spark.plans import lineage as L
 from freemap_tiler_spark.session import get_spark
 from freemap_tiler_spark.sources.corpus import geotagged_corpus
+from pyspark.storagelevel import StorageLevel
 
 MAX_ZOOM = 14
 TILE = 64  # bench payload size (density tiles; 64px keeps shuffle ~MB-scale)
@@ -66,7 +67,7 @@ def main() -> None:
     # --- rasterize: leaf tiles at max_zoom (the warp stage)
     t0 = time.time()
     assigned = pyramid.assign_cells(pts, "lon", "lat", MAX_ZOOM)
-    leaves = pyramid.rasterize_level(assigned, TILE).persist()
+    leaves = pyramid.rasterize_level(assigned, TILE).persist(StorageLevel.MEMORY_AND_DISK)
     n_leaves = leaves.count()
     q["rasterize"] = time.time() - t0
 
@@ -74,7 +75,7 @@ def main() -> None:
     t0 = time.time()
     levels = pyramid.compose_pyramid(
         leaves, MAX_ZOOM, 0, TILE, 2, levels_per_shuffle=5
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_tiles = levels.count()
     q["compose"] = time.time() - t0
 

@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from freemap_tiler_spark.functions import cells, mercator
 from freemap_tiler_spark.functions.codecs import encode_tile
@@ -95,19 +96,23 @@ def rasterize_level(points_with_cells: DataFrame, tile_size: int = 256) -> DataF
         .groupBy("cell", "pix")
         .count()
     )
+    # pack (pix, clipped count) into ONE long — an array<long> crosses
+    # Arrow as a flat int64 buffer; an array<struct> would materialize a
+    # Python dict PER PIXEL on the worker (measured 10x slower)
     packed = counted.groupBy("cell").agg(
-        F.collect_list(F.struct("pix", "count")).alias("pixels")
+        F.collect_list(
+            F.col("pix") * 256 + F.least(F.col("count"), F.lit(255))
+        ).alias("pixels")
     )
 
     @F.pandas_udf("binary")
     def _paint(pixels: pd.Series) -> pd.Series:
         out = []
         for pxs in pixels:
+            packed_arr = np.asarray(pxs, dtype=np.int64)
             img = np.zeros((t * t, 2), dtype=np.uint8)
-            idx = np.array([p["pix"] for p in pxs], dtype=np.int64)
-            cnt = np.array([p["count"] for p in pxs], dtype=np.int64)
-            img[idx, 0] = np.clip(cnt, 0, 255)
-            img[idx, 1] = 255
+            img[packed_arr >> 8, 0] = (packed_arr & 0xFF).astype(np.uint8)
+            img[packed_arr >> 8, 1] = 255
             out.append(img.tobytes())
         return pd.Series(out)
 
@@ -173,7 +178,8 @@ def compose_pyramid(
         # per consumer, turning 3 rounds into ~6 executions
         produced = current.groupBy(anc).applyInPandas(
             _make_compose(k), PAYLOAD_SCHEMA
-        ).persist()
+        ).persist(StorageLevel.MEMORY_AND_DISK)  # serialized: binary-payload
+        # rows cached deserialized are heap object soup -> GC thrash
         all_levels = all_levels.unionByName(produced)
         current = produced.where(cells.cell_zoom("cell") == z - k)
         z -= k

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # shuffle spill to tmpfs: local-mode shuffles bottleneck on the
+        # virtio disk (~0.5 GB/s, core-count-independent) otherwise; on a
+        # real cluster this is the executors' local NVMe
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+                if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
