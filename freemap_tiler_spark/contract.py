@@ -210,6 +210,131 @@ GROUP BY z.zoom ORDER BY z.zoom
 """
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets shape: ROLLUP over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt", "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS cnt, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            "cnt", "rev_cents",
+        )
+        .orderBy("st", "pri")
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+       COUNT(*) AS cnt, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pri
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT shapes (§2.7): customers with both an order above
+    and below the median price band, minus high-balance ones."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 200000).select("o_custkey").distinct()
+    lo = o.where(F.col("o_totalprice") < 50000).select("o_custkey").distinct()
+    c = load_table(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("o_custkey"))
+    return (
+        hi.intersect(lo).exceptAll(rich).select(F.col("o_custkey").alias("custkey"))
+        .orderBy("custkey")
+    )
+
+
+SQL_SET_OPS = """
+SELECT o_custkey AS custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice < 50000
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+ORDER BY custkey
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression shapes: substring/upper/concat/length/trim."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 4)).alias("prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", F.trim(F.lower("p_type"))).alias("brand_type"),
+    ).orderBy("p_partkey")
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 4)) AS prefix,
+       LENGTH(p_name) AS name_len,
+       p_brand || '-' || TRIM(LOWER(p_type)) AS brand_type
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date expression shapes: year/month/dayofweek buckets + agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents"))
+        .orderBy("yr", "mo")
+    )
+
+
+SQL_DATE_FUNCS = """
+SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
+       COUNT(*) AS cnt, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+FROM orders GROUP BY 1, 2 ORDER BY yr, mo
+"""
+
+
+def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-SKEW: the two-phase salted aggregation must equal a plain count."""
+    from freemap_tiler_spark.operators.skew import salted_count
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_count(e.withColumnRenamed("event_type", "cell"), key="cell").orderBy(
+        "cell"
+    )
+
+
+SQL_SALTED_COUNT = """
+SELECT event_type AS cell, COUNT(*) AS count FROM events GROUP BY 1 ORDER BY cell
+"""
+
+
 # ---------------------------------------------------------------------------
 # 7-11: geo pipeline (extraction, tile assignment, pyramid keys, limits)
 # ---------------------------------------------------------------------------
@@ -819,6 +944,12 @@ QUERIES = {
     "window_topk": q_window_topk,
     "broadcast_join_agg": q_broadcast_join_agg,
     "distinct_union_closure": q_distinct_union_closure,
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "set_ops": q_set_ops,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "salted_count": q_salted_count,
     "geo_extract": q_geo_extract,
     "tile_assign": q_tile_assign,
     "pyramid_keys": q_pyramid_keys,
@@ -853,6 +984,12 @@ def oracle_sql() -> dict[str, str]:
         "window_topk": SQL_WINDOW_TOPK,
         "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
         "distinct_union_closure": SQL_DISTINCT_UNION_CLOSURE,
+        "rollup_agg": SQL_ROLLUP_AGG,
+        "cube_agg": SQL_CUBE_AGG,
+        "set_ops": SQL_SET_OPS,
+        "string_funcs": SQL_STRING_FUNCS,
+        "date_funcs": SQL_DATE_FUNCS,
+        "salted_count": SQL_SALTED_COUNT,
         "geo_extract": SQL_GEO_EXTRACT,
         "tile_assign": _sql_tile_assign(),
         "pyramid_keys": _sql_pyramid_keys(),
