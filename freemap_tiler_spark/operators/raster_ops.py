@@ -72,18 +72,22 @@ def _inverse_map_source_px(
     block_x: int, block_y: int, w: int, h: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """For each target-tile pixel center (3857 grid), the fractional source
-    pixel coordinate inside THIS block.  crs='EPSG:3857' -> affine only;
-    crs='EPSG:4326' -> inverse mercator then affine (the two transform
-    choices of src/main.rs:154-162)."""
+    pixel coordinate inside THIS block — returned as SEPARABLE 1-D maps
+    (sx per column, sy per row): both supported transforms (3857 identity,
+    4326 inverse-mercator — the two choices of src/main.rs:154-162) are
+    axis-aligned, so the 2-D map factorizes and bilinear sampling needs no
+    meshgrid."""
+    assert gt[2] == 0.0 and gt[4] == 0.0, "rotated geo_transform unsupported"
     span = mercator.WORLD / (1 << zoom)
     mx = (tx + (np.arange(t) + 0.5) / t) * span - mercator.ORIGIN
     my = mercator.ORIGIN - (ty + (np.arange(t) + 0.5) / t) * span
-    gx, gy = np.meshgrid(mx, my)
     if crs == "EPSG:4326":
-        gx, gy = mercator.np_merc_to_lonlat(gx, gy)
-    # global source pixel via inverse affine (gt: [x0, pw, 0, y0, 0, -ph])
-    sx = (gx - gt[0]) / gt[1] - block_x * w
-    sy = (gy - gt[3]) / gt[5] - block_y * h
+        gx = np.degrees(mx / mercator.R)
+        gy = np.degrees(2.0 * np.arctan(np.exp(my / mercator.R)) - np.pi / 2.0)
+    else:
+        gx, gy = mx, my
+    sx = (gx - gt[0]) / gt[1] - block_x * w   # (t,) per output column
+    sy = (gy - gt[3]) / gt[5] - block_y * h   # (t,) per output row
     return sx, sy
 
 
@@ -122,27 +126,29 @@ def warp_blocks_to_tiles(
                         sx, sy = _inverse_map_source_px(
                             tx, ty, zoom, t, gt, row.crs, row.block_x, row.block_y, w, h
                         )
-                        inb = (sx >= -0.5) & (sx < w - 0.5) & (sy >= -0.5) & (sy < h - 0.5)
-                        if not inb.any():
+                        inbx = (sx >= -0.5) & (sx < w - 0.5)
+                        inby = (sy >= -0.5) & (sy < h - 0.5)
+                        if not (inbx.any() and inby.any()):
                             continue
+                        # separable bilinear: row/column 1-D maps
                         x0 = np.clip(np.floor(sx).astype(int), 0, w - 1)
                         y0 = np.clip(np.floor(sy).astype(int), 0, h - 1)
                         if resampling == "nearest":
-                            tile = img[np.clip(np.rint(sy).astype(int), 0, h - 1),
-                                       np.clip(np.rint(sx).astype(int), 0, w - 1)]
-                        else:  # bilinear
+                            tile = img[np.clip(np.rint(sy).astype(int), 0, h - 1)][
+                                :, np.clip(np.rint(sx).astype(int), 0, w - 1)
+                            ]
+                        else:  # bilinear, factorized: rows then columns
                             x1 = np.clip(x0 + 1, 0, w - 1)
                             y1 = np.clip(y0 + 1, 0, h - 1)
-                            fx = np.clip(sx - x0, 0.0, 1.0)[..., None]
-                            fy = np.clip(sy - y0, 0.0, 1.0)[..., None]
-                            tile = (
-                                img[y0, x0] * (1 - fx) * (1 - fy)
-                                + img[y0, x1] * fx * (1 - fy)
-                                + img[y1, x0] * (1 - fx) * fy
-                                + img[y1, x1] * fx * fy
-                            )
+                            fx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
+                            fy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
+                            top = img[y0]
+                            bot = img[y1]
+                            rows_ = top * (1 - fy) + bot * fy        # (t, w, nb)
+                            tile = rows_[:, x0] * (1 - fx) + rows_[:, x1] * fx
                         tile = np.clip(np.rint(tile), 0, 255).astype(np.uint8)
-                        tile[~inb] = 0  # outside source: transparent
+                        tile[~inby, :, :] = 0  # outside source: transparent
+                        tile[:, ~inbx, :] = 0
                         out_c.append(int(cells.np_cell(zoom, tx, ty)))
                         out_p.append(tile.tobytes())
             yield pd.DataFrame({"cell": out_c, "payload": out_p})
@@ -150,20 +156,25 @@ def warp_blocks_to_tiles(
     pieces = blocks.mapInPandas(_warp, "cell long, payload binary")
     nb = blocks.select("bands").first()[0]
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for p in pdf["payload"]:
-            a = np.frombuffer(p, np.uint8).reshape(-1, nb)
-            if acc is None:
-                acc = a.copy()
-            else:
-                gate = a[:, -1] > 0  # alpha-gated copy (P4)
-                acc[gate] = a[gate]
-        return pd.DataFrame({"cell": [pdf["cell"].iloc[0]], "payload": [acc.tobytes()]})
+    # batched alpha-gated merge: collect_list + ONE scalar Arrow UDF (a
+    # groupBy.applyInPandas here would pay group dispatch per tile)
+    @F.pandas_udf("binary")
+    def _merge(payloads: pd.Series) -> pd.Series:
+        out = []
+        for lst in payloads:
+            acc = None
+            for p in lst:
+                a = np.frombuffer(p, np.uint8).reshape(-1, nb)
+                if acc is None:
+                    acc = a.copy()
+                else:
+                    gate = a[:, -1] > 0  # alpha-gated copy (P4)
+                    acc[gate] = a[gate]
+            out.append(acc.tobytes())
+        return pd.Series(out)
 
-    return pieces.groupBy("cell").applyInPandas(
-        lambda _k, pdf: _merge(pdf), "cell long, payload binary"
-    )
+    packed = pieces.groupBy("cell").agg(F.collect_list("payload").alias("ps"))
+    return packed.select("cell", _merge("ps").alias("payload"))
 
 
 def tile_cover(spark, bbox_3857: tuple, zoom: int) -> DataFrame:

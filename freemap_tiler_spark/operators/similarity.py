@@ -96,28 +96,35 @@ def ann_topk(
     vec_col: str = "embedding",
     n_planes: int = 10,
     n_tables: int = 4,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: SRP bucket equi-join over n_tables tables, exact
-    cosine re-rank of the candidate union.  Recall grows with n_tables;
-    candidates stay ~corpus/2^n_planes per table per probe."""
-    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+    cosine re-rank of the candidate union.  Recall grows with n_tables and
+    ``multiprobe`` (probe-side also visits buckets at Hamming distance 1 —
+    each single bit flip — costing n_planes extra probe rows per table but
+    ZERO extra corpus rows, the standard multi-probe LSH trade)."""
+    def bucketed(df: DataFrame, idc: str, probe_side: bool) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            base = srp_bucket(F.col(vec_col), dim, n_planes, t)
+            entries.append(F.struct(F.lit(t).alias("tbl"), base.alias("bkt")))
+            if probe_side and multiprobe >= 1:
+                for p in range(n_planes):
+                    entries.append(
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            base.bitwiseXOR(F.lit(1 << p)).alias("bkt"),
+                        )
+                    )
         rows = df.select(
             F.col(idc),
             F.col(vec_col).alias("_v"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        srp_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ])
-            ).alias("b"),
+            F.explode(F.array(*entries)).alias("b"),
         )
         return rows.select(idc, "_v", "b.tbl", "b.bkt")
 
-    pr = bucketed(probes, probe_id).withColumnRenamed("_v", "_pv")
-    co = bucketed(corpus, corpus_id).withColumnRenamed("_v", "_cv")
+    pr = bucketed(probes, probe_id, True).withColumnRenamed("_v", "_pv")
+    co = bucketed(corpus, corpus_id, False).withColumnRenamed("_v", "_cv")
     cand = (
         pr.join(co, ["tbl", "bkt"])
         .select(probe_id, corpus_id, "_pv", "_cv")

@@ -29,11 +29,13 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 from freemap_tiler_spark.session import get_spark
 from freemap_tiler_spark.functions import text as T
-from freemap_tiler_spark.operators import knn, pip_join, pyramid
+from freemap_tiler_spark.operators import knn, pip_join, pyramid, raster_ops
 from freemap_tiler_spark.sources.corpus import geotagged_corpus
+from freemap_tiler_spark.sources.raster_blocks import raster_blocks
 from pyspark.storagelevel import StorageLevel
 
-rows, cpus, tile, maxz = (int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+rows, cpus, grid, maxz = (int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+TILE = 256  # dense Gray+Alpha tiles, the reference's workload shape
 
 def _cpu_stat():
     f = open("/proc/stat").readline().split()
@@ -41,8 +43,6 @@ def _cpu_stat():
 _stat0 = _cpu_stat()
 
 def _calibrate():
-    # fixed single-thread numpy workload: wall ms measures host-delivered
-    # per-core speed (contention detector the guest can actually see)
     import numpy as _np
     a = _np.random.RandomState(0).rand(400, 400)
     t = time.time()
@@ -54,31 +54,34 @@ spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]", shuffle_par
 spark.sparkContext.setLogLevel("ERROR")
 q = {}
 
-pts = geotagged_corpus(spark, rows).select(
-    T.geo_lon("text").alias("lon"), T.geo_lat("text").alias("lat")).dropna().persist()
-n_pts = pts.count()  # warms the corpus + extraction; timed as extract
+# ---- raster pyramid (dense tiles: the reference's orthophoto shape) ----
+blocks = raster_blocks(spark, grid=grid, width=256, height=256, bands=2)
 t0 = time.time()
-
-leaves = pyramid.rasterize_level(pyramid.assign_cells(pts, "lon", "lat", maxz), tile).persist(StorageLevel.MEMORY_AND_DISK)
+leaves = raster_ops.warp_blocks_to_tiles(blocks, maxz, TILE).persist(StorageLevel.MEMORY_AND_DISK)
 n_leaves = leaves.count()
-q["rasterize"] = time.time() - t0
+q["rasterize"] = time.time() - t0   # == warp stage
 
 t0 = time.time()
-levels = pyramid.compose_pyramid(leaves, maxz, 0, tile, 2, levels_per_shuffle=5).persist(StorageLevel.MEMORY_AND_DISK)
+levels = pyramid.compose_pyramid(leaves, maxz, 0, TILE, 2, levels_per_shuffle=5).persist(StorageLevel.MEMORY_AND_DISK)
 n_tiles = levels.count()
 q["compose"] = time.time() - t0
 
 t0 = time.time()
-n_enc = pyramid.encode_level(levels, "png", tile_size=tile, bands=2).count()
+n_enc = pyramid.encode_level(levels, "png", tile_size=TILE, bands=2).count()
 q["encode"] = time.time() - t0
 
 t0 = time.time()
-out = tempfile.mkdtemp(prefix="scale_")
+out = tempfile.mkdtemp(prefix="scale_", dir="/dev/shm")  # sink == parallel storage on a real cluster
 pyramid.with_tile_keys(levels).drop("cell").repartition(cpus).write.mode(
     "overwrite").partitionBy("zoom").parquet(out)
 q["write"] = time.time() - t0
 shutil.rmtree(out, ignore_errors=True)
+leaves.unpersist(); levels.unpersist()
 
+# ---- spatial joins over the geotagged corpus ----
+pts = geotagged_corpus(spark, rows).select(
+    T.geo_lon("text").alias("lon"), T.geo_lat("text").alias("lat")).dropna().persist()
+pts.count()
 import numpy as np
 qx = [17.0, 21.5, 21.0, 16.9]; qy = [47.9, 48.0, 49.4, 49.3]
 polys = [{"poly_id": 1, "tag": "q", "rings": [(np.asarray(qx), np.asarray(qy))],
@@ -99,7 +102,7 @@ steal_pct = round(_d[7] / max(sum(_d), 1) * 100, 2)
 pyr_sec = q["rasterize"] + q["compose"] + q["encode"] + q["write"]
 join_sec = q["pip_join"] + q["knn"]
 print(json.dumps({
-    "cpus": cpus, "rows": rows, "points": n_pts, "leaf_tiles": n_leaves,
+    "cpus": cpus, "rows": rows, "grid": grid, "leaf_tiles": n_leaves,
     "total_tiles": n_tiles, "stages": {k: round(v, 2) for k, v in q.items()},
     "pyramid_sec": round(pyr_sec, 2), "join_sec": round(join_sec, 2),
     "tiles_per_sec": round(n_tiles / pyr_sec, 2),
@@ -131,11 +134,11 @@ def git_rev() -> str:
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    tile = 128
-    maxz = 15
+    tile = int(os.environ.get("SCALING_GRID", "96"))  # raster grid side
+    maxz = int(os.environ.get("SCALING_MAXZ", "11"))
 
     trials = int(os.environ.get("SCALING_TRIALS", "2"))
     max_steal = float(os.environ.get("SCALING_MAX_STEAL", "3.0"))
@@ -161,7 +164,7 @@ def main() -> None:
     eff_join = (big["join_rows_per_sec"] / small["join_rows_per_sec"]) / (n_big / n_small)
     result = {
         "protocol": f"identical job, identical input, local[{n_small}] vs local[{n_big}]",
-        "rows": rows, "tile": tile, "max_zoom": maxz, "rev": rev,
+        "rows": rows, "grid": tile, "max_zoom": maxz, "rev": rev,
         "small": small, "big": big,
         "scaling_efficiency_tiles": round(eff_tiles, 3),
         "scaling_efficiency_join": round(eff_join, 3),
