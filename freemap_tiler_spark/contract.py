@@ -88,8 +88,8 @@ def q_limits_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LIMITS_FOLD = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
        COUNT(*) AS cnt
 FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -172,7 +172,7 @@ def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BROADCAST_JOIN_AGG = """
-SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+SELECT n_name, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n_name ORDER BY n_name
@@ -227,7 +227,7 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROLLUP_AGG = """
 SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-       COUNT(*) AS cnt, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls
 """
 
@@ -250,7 +250,7 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CUBE_AGG = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
-       COUNT(*) AS cnt, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+       COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pri
 """
 
@@ -315,7 +315,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DATE_FUNCS = """
 SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
-       COUNT(*) AS cnt, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+       COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
 FROM orders GROUP BY 1, 2 ORDER BY yr, mo
 """
 
@@ -569,9 +569,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNT = r"""
 SELECT lang,
-       SUM(CASE WHEN TRIM(text) = '' THEN 0
-                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END) AS ws_tokens,
-       SUM(LEN(regexp_extract_all(text, '\w{1,4}|[^\w\s]'))) AS bpe_tokens,
+       CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END) AS BIGINT) AS ws_tokens,
+       CAST(SUM(LEN(regexp_extract_all(text, '\w{1,4}|[^\w\s]'))) AS BIGINT) AS bpe_tokens,
        COUNT(*) AS docs
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -835,7 +835,7 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENT_WINDOW = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       COUNT(*) AS events, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       COUNT(*) AS events, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 

@@ -31,6 +31,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     for c in scols:
         sv, ov = s[c], o[c]
+        # the driver hashes *typed* values: int64 123456 vs float64 123456.0
+        # diverge there, so a kind mismatch is a failure here too.
+        if sv.dtype.kind != ov.dtype.kind and {sv.dtype.kind, ov.dtype.kind} & {"f", "i", "u"}:
+            if not (sv.dtype.kind in "iu" and ov.dtype.kind in "iu"):
+                problems.append(
+                    f"col {c} dtype kind differs: spark={sv.dtype} oracle={ov.dtype}"
+                )
+                continue
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             ok = np.allclose(
                 sv.astype(float), ov.astype(float), rtol=0, atol=1e-9, equal_nan=True
