@@ -102,9 +102,14 @@ def knn_join(
         to_unpersist.append(ranked)
         full = ranked.where(F.col("_found") >= k).drop("_found")
         results = full if results is None else results.unionByName(full)
-        under = ranked.where(F.col("_found") < k).select(probe_id).distinct()
-        remaining = remaining.join(under, probe_id, "left_semi")
-        if under.isEmpty():  # early exit: every probe satisfied
+        # remaining = probes NOT yet satisfied, derived by anti-join against
+        # the satisfied set — a probe with ZERO candidates this round never
+        # appears in `ranked` at all, so deriving `under` from `ranked`
+        # would silently drop exactly the sparsest probes before the
+        # widened-ring fallback ever ran.
+        satisfied = full.select(probe_id).distinct()
+        remaining = remaining.join(satisfied, probe_id, "left_anti")
+        if remaining.isEmpty():  # early exit: every probe satisfied
             break
         ring *= 2
         if ring > (1 << zoom):

@@ -63,9 +63,21 @@ def brute_force_topk(
 
 
 def _plane_coeff(table: int, plane: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane: coefficient j =
-    sin(1 + j + dim*plane + dim*32*table) — closed form, no RNG state."""
-    return [math.sin(1.0 + j + dim * plane + dim * 32 * table) for j in range(dim)]
+    """Deterministic pseudo-random hyperplane: coefficient j from md5 of
+    (table, plane, j) mapped to [-1, 1] — closed form, no RNG state.
+
+    NOT sin(a + j): successive sin values are one sinusoid, so every such
+    "plane" is a phase shift of the same frequency and all projections
+    collapse to one degree of freedom per vector (measured: recall
+    plateaued at 0.64 no matter how many tables).  Hash coefficients are
+    jointly independent across (table, plane, j)."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{table}:{plane}:{j}".encode()).digest()
+        out.append(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0)
+    return out
 
 
 def srp_bucket(vec, dim: int, n_planes: int = 12, table: int = 0) -> Column:
@@ -86,6 +98,21 @@ def srp_bucket(vec, dim: int, n_planes: int = 12, table: int = 0) -> Column:
     return out
 
 
+def _bit_flips(n_planes: int, max_bits: int) -> list[int]:
+    """All XOR masks of Hamming weight <= max_bits over n_planes bits
+    (0 first — the unflipped bucket)."""
+    from itertools import combinations
+
+    out = [0]
+    for r in range(1, max_bits + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(m)
+    return out
+
+
 def ann_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -100,22 +127,17 @@ def ann_topk(
 ) -> DataFrame:
     """Approximate top-k: SRP bucket equi-join over n_tables tables, exact
     cosine re-rank of the candidate union.  Recall grows with n_tables and
-    ``multiprobe`` (probe-side also visits buckets at Hamming distance 1 —
-    each single bit flip — costing n_planes extra probe rows per table but
-    ZERO extra corpus rows, the standard multi-probe LSH trade)."""
+    ``multiprobe`` (probe-side also visits buckets at Hamming distance <=
+    ``multiprobe`` — bit-flip combinations — costing extra probe rows per
+    table but ZERO extra corpus rows, the standard multi-probe LSH trade)."""
     def bucketed(df: DataFrame, idc: str, probe_side: bool) -> DataFrame:
         entries = []
+        flips = _bit_flips(n_planes, multiprobe if probe_side else 0)
         for t in range(n_tables):
             base = srp_bucket(F.col(vec_col), dim, n_planes, t)
-            entries.append(F.struct(F.lit(t).alias("tbl"), base.alias("bkt")))
-            if probe_side and multiprobe >= 1:
-                for p in range(n_planes):
-                    entries.append(
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            base.bitwiseXOR(F.lit(1 << p)).alias("bkt"),
-                        )
-                    )
+            for m in flips:
+                bkt = base.bitwiseXOR(F.lit(m)) if m else base
+                entries.append(F.struct(F.lit(t).alias("tbl"), bkt.alias("bkt")))
         rows = df.select(
             F.col(idc),
             F.col(vec_col).alias("_v"),
@@ -147,18 +169,27 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (id_a < id_b);
-    SRP-bucketed candidates, exact verify."""
+    SRP-bucketed candidates, exact verify.  ``multiprobe`` flips up to that
+    many bucket bits on the LEFT side of the self-join (recall knob — same
+    trade as ann_topk: more left rows, zero extra right rows)."""
     co = corpus.select(F.col(corpus_id).alias("_id"), F.col(vec_col).alias("_v"))
-    bk = co.select(
-        "_id", "_v",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col("_v"), dim, n_planes, t).alias("bkt"))
-            for t in range(n_tables)
-        ])).alias("b"),
-    ).select("_id", "_v", "b.tbl", "b.bkt")
-    l, r = bk.alias("l"), bk.alias("r")
+
+    def bucketed(probe_side: bool) -> DataFrame:
+        entries = []
+        flips = _bit_flips(n_planes, multiprobe if probe_side else 0)
+        for t in range(n_tables):
+            base = srp_bucket(F.col("_v"), dim, n_planes, t)
+            for m in flips:
+                bkt = base.bitwiseXOR(F.lit(m)) if m else base
+                entries.append(F.struct(F.lit(t).alias("tbl"), bkt.alias("bkt")))
+        return co.select(
+            "_id", "_v", F.explode(F.array(*entries)).alias("b")
+        ).select("_id", "_v", "b.tbl", "b.bkt")
+
+    l, r = bucketed(True).alias("l"), bucketed(False).alias("r")
     return (
         l.join(r, (F.col("l.tbl") == F.col("r.tbl")) & (F.col("l.bkt") == F.col("r.bkt"))
                & (F.col("l._id") < F.col("r._id")))

@@ -85,3 +85,23 @@ def test_skew_probe_finds_hot(spark, pts):
     skewed = pts.withColumn("cell", F.when(F.col("pid") % 10 < 8, 99).otherwise(F.col("pid")))
     hot = skew.skew_probe(skewed, "cell")
     assert hot == [99]
+
+
+def test_knn_isolated_probe_ring_expansion(spark):
+    """A probe whose 3x3 neighborhood holds ZERO candidates must still get
+    its k neighbors via ring expansion (regression: `under` derived from
+    `ranked` silently dropped exactly the zero-candidate probes)."""
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(i, 20.0 + i * 0.001, 48.0) for i in range(20)],
+        "point_id long, lon double, lat double",
+    )
+    probes = spark.createDataFrame(
+        [(1, 20.0, 48.0), (2, 25.0, 49.9)],
+        "probe_id long, lon double, lat double",
+    )
+    out = knn.knn_join(probes, pts, k=3, zoom=12, expand_rounds=6)
+    got = {r.probe_id for r in out.select("probe_id").distinct().collect()}
+    assert got == {1, 2}
+    assert out.where(F.col("probe_id") == 2).count() == 3
