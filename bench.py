@@ -73,10 +73,14 @@ def main() -> None:
 
     # --- compose: full pyramid max_zoom-1 .. 0 (the compose stage)
     t0 = time.time()
+    round_cache: list = []
     levels = pyramid.compose_pyramid(
-        leaves, MAX_ZOOM, 0, TILE, 2, levels_per_shuffle=5
+        leaves, MAX_ZOOM, 0, TILE, 2, levels_per_shuffle=5,
+        round_cache=round_cache,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_tiles = levels.count()
+    for df in round_cache:   # levels is materialized; drop round caches
+        df.unpersist()
     q["compose"] = time.time() - t0
 
     # --- encode: PNG every tile (the encode stage)
@@ -105,9 +109,13 @@ def main() -> None:
     pip_rows = pip_join.pip_join_broadcast(pts, polys).count()
     q["pip_join"] = time.time() - t0
 
-    # --- knn: 1k probes against the corpus
+    # --- knn: ~1k probes against the corpus (deterministic hash sample —
+    # limit() collapses to one partition and serializes the probe side)
     t0 = time.time()
-    probes = pts.limit(1000).withColumn("probe_id", F.monotonically_increasing_id())
+    every = max(n_pts // 1000, 1)
+    probes = pts.where(F.xxhash64("lon", "lat") % every == 0).withColumn(
+        "probe_id", F.xxhash64("lon", "lat")
+    )
     points = pts.withColumn("point_id", F.monotonically_increasing_id())
     knn_rows = knn.knn_join(probes, points, k=5, zoom=12).count()
     q["knn"] = time.time() - t0

@@ -141,6 +141,25 @@ def _compose_subtree(
     return out
 
 
+GROUP_PIXEL_BUDGET = 64 << 20  # bytes of child payload per compose group
+
+
+def clamp_levels_per_shuffle(
+    levels_per_shuffle: int, tile_size: int, bands: int,
+    budget: int = GROUP_PIXEL_BUDGET,
+) -> int:
+    """Largest k <= levels_per_shuffle with 4^k * tile_size^2 * bands <=
+    budget (SURVEY §7(5)): a compose group holds one zoom-k subtree IN
+    MEMORY inside a single applyInPandas task, so unclamped k at 256px
+    RGBA means 4^5 * 256KB = 270MB per group — OOM at production tile
+    size, and (worse for scaling) a parallelism ceiling of
+    tiles(from_zoom)/4^k tasks per round."""
+    k = max(1, int(levels_per_shuffle))
+    while k > 1 and (4 ** k) * tile_size * tile_size * bands > budget:
+        k -= 1
+    return k
+
+
 def compose_pyramid(
     level_df: DataFrame,
     from_zoom: int,
@@ -148,9 +167,15 @@ def compose_pyramid(
     tile_size: int = 256,
     bands: int = 2,
     levels_per_shuffle: int = 3,
+    round_cache: list | None = None,
 ) -> DataFrame:
     """(cell, payload) tiles at from_zoom -> union of ALL levels
-    [to_zoom, from_zoom].  ceil((from_zoom-to_zoom)/k) shuffles."""
+    [to_zoom, from_zoom].  ceil((from_zoom-to_zoom)/k) shuffles.
+
+    Each round's output is persisted (it feeds both the union and the next
+    round).  Pass ``round_cache`` (a list) to receive those DataFrames and
+    unpersist them once the returned union is materialized — otherwise one
+    cached copy per composed round leaks for the session lifetime."""
     def _make_compose(k: int):
         def _compose(pdf: pd.DataFrame) -> pd.DataFrame:
             tiles = {
@@ -167,11 +192,12 @@ def compose_pyramid(
 
         return _compose
 
+    max_k = clamp_levels_per_shuffle(levels_per_shuffle, tile_size, bands)
     all_levels = level_df
     current = level_df
     z = from_zoom
     while z > to_zoom:
-        k = min(levels_per_shuffle, z - to_zoom)
+        k = min(max_k, z - to_zoom)
         anc = cells.ancestor(F.col("cell"), k).alias("anc")
         # persist per round: the output feeds BOTH the union and the next
         # round — without it Spark re-runs the (expensive) UDF stage once
@@ -180,6 +206,8 @@ def compose_pyramid(
             _make_compose(k), PAYLOAD_SCHEMA
         ).persist(StorageLevel.MEMORY_AND_DISK)  # serialized: binary-payload
         # rows cached deserialized are heap object soup -> GC thrash
+        if round_cache is not None:
+            round_cache.append(produced)
         all_levels = all_levels.unionByName(produced)
         current = produced.where(cells.cell_zoom("cell") == z - k)
         z -= k
@@ -240,6 +268,7 @@ def build_pyramid(
     min_zoom: int = 0,
     tile_size: int = 256,
     levels_per_shuffle: int = 3,
+    round_cache: list | None = None,
 ) -> DataFrame:
     """Full pipeline: points -> all pyramid levels as (cell, payload).
 
@@ -248,5 +277,6 @@ def build_pyramid(
     assigned = assign_cells(points, lon_col, lat_col, max_zoom)
     leaves = rasterize_level(assigned, tile_size)
     return compose_pyramid(
-        leaves, max_zoom, min_zoom, tile_size, 2, levels_per_shuffle
+        leaves, max_zoom, min_zoom, tile_size, 2, levels_per_shuffle,
+        round_cache=round_cache,
     )

@@ -86,29 +86,65 @@ def _inverse_map_source_px(
         gy = np.degrees(2.0 * np.arctan(np.exp(my / mercator.R)) - np.pi / 2.0)
     else:
         gx, gy = mx, my
-    sx = (gx - gt[0]) / gt[1] - block_x * w   # (t,) per output column
-    sy = (gy - gt[3]) / gt[5] - block_y * h   # (t,) per output row
+    # -0.5: (gx-gt0)/gt1 is EDGE-based (source pixel j spans [j, j+1), its
+    # center at j+0.5); the samplers are CENTER-based (sample coord j ==
+    # pixel j's center).  Without the shift every warp was misregistered by
+    # half a source pixel (caught by the aligned-identity golden test).
+    sx = (gx - gt[0]) / gt[1] - block_x * w - 0.5   # (t,) per output column
+    sy = (gy - gt[3]) / gt[5] - block_y * h - 0.5   # (t,) per output row
     return sx, sy
+
+
+def _lanczos_weights_at(
+    centers: np.ndarray, src_lo: int, src_hi: int, scale: float
+) -> np.ndarray:
+    """(m, src_hi-src_lo) float32 Lanczos-3 weight rows at arbitrary
+    fractional source centers (GRA_Lanczos equivalent, src/warp.rs:19).
+    Kernel stretched by ``scale`` when downscaling; edge clamp by index
+    clip; rows normalized."""
+    from freemap_tiler_spark.functions.resample import lanczos_kernel
+
+    sc = max(float(scale), 1.0)
+    support = 3.0 * sc
+    n = src_hi - src_lo
+    w = np.zeros((len(centers), n), dtype=np.float32)
+    for j, c in enumerate(centers):
+        idx = np.arange(int(np.floor(c - support)), int(np.ceil(c + support)) + 1)
+        k = lanczos_kernel((idx - c) / sc).astype(np.float32)
+        np.add.at(w[j], np.clip(idx, src_lo, src_hi - 1) - src_lo, k)
+        s = w[j].sum()
+        if s != 0:
+            w[j] /= s
+    return w
 
 
 def warp_blocks_to_tiles(
     blocks: DataFrame,
     zoom: int,
     tile_size: int = 256,
-    resampling: str = "bilinear",
+    resampling: str = "lanczos",
 ) -> DataFrame:
     """F11: reproject + resample raster blocks into (cell, payload) tiles at
     ``zoom``.  Handles EPSG:3857 (identity fast path) and EPSG:4326 sources;
-    pieces from blocks straddling a tile merge alpha-gated (P4)."""
+    pieces from blocks straddling a tile merge alpha-gated (P4).
+
+    Resampling: ``lanczos`` (the reference's default, src/warp.rs:19 /
+    src/processor.rs:389), ``bilinear``, ``nearest``.
+
+    Shuffle shape: each block emits CROPPED pieces — only the target-pixel
+    rectangle whose source centers fall inside this block, with its (px0,
+    py0) offset — so warp shuffle volume == source volume (emitting full
+    tile canvases per piece measured 4x amplification, and this host's
+    shared memory bus is the scaling ceiling)."""
     t = tile_size
 
     def _warp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_c, out_p = [], []
+            o_c, o_x0, o_y0, o_w, o_h, o_p = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 gt = np.asarray(row.geo_transform, float)
                 w, h, nb = int(row.width), int(row.height), int(row.bands)
-                img = np.frombuffer(row.data, np.uint8).reshape(h, w, nb).astype(np.float64)
+                img = np.frombuffer(row.data, np.uint8).reshape(h, w, nb).astype(np.float32)
                 # block corner coords -> 3857 bbox -> covered tiles
                 cx = gt[0] + (row.block_x * w + np.array([0.0, w])) * gt[1]
                 cy = gt[3] + (row.block_y * h + np.array([0.0, h])) * gt[5]
@@ -121,6 +157,10 @@ def warp_blocks_to_tiles(
                 tx1 = int((bx.max() + mercator.ORIGIN - 1e-9) // span)
                 ty0 = int((mercator.ORIGIN - by.max()) // span)
                 ty1 = int((mercator.ORIGIN - by.min() - 1e-9) // span)
+                # source pixels per target pixel (kernel stretch when the
+                # warp downscales); axis-aligned transforms -> per-axis
+                sx_scale = span / t / abs(gt[1])
+                sy_scale = span / t / abs(gt[5])
                 for ty in range(max(ty0, 0), min(ty1, (1 << zoom) - 1) + 1):
                     for tx in range(max(tx0, 0), min(tx1, (1 << zoom) - 1) + 1):
                         sx, sy = _inverse_map_source_px(
@@ -130,50 +170,76 @@ def warp_blocks_to_tiles(
                         inby = (sy >= -0.5) & (sy < h - 0.5)
                         if not (inbx.any() and inby.any()):
                             continue
-                        # separable bilinear: row/column 1-D maps
-                        x0 = np.clip(np.floor(sx).astype(int), 0, w - 1)
-                        y0 = np.clip(np.floor(sy).astype(int), 0, h - 1)
+                        # crop to the in-block target rectangle (the maps
+                        # are monotone, so the masks are contiguous runs)
+                        xi, yi = np.nonzero(inbx)[0], np.nonzero(inby)[0]
+                        px0, px1 = int(xi[0]), int(xi[-1]) + 1
+                        py0, py1 = int(yi[0]), int(yi[-1]) + 1
+                        sxc, syc = sx[px0:px1], sy[py0:py1]
                         if resampling == "nearest":
-                            tile = img[np.clip(np.rint(sy).astype(int), 0, h - 1)][
-                                :, np.clip(np.rint(sx).astype(int), 0, w - 1)
+                            piece = img[np.clip(np.rint(syc).astype(int), 0, h - 1)][
+                                :, np.clip(np.rint(sxc).astype(int), 0, w - 1)
                             ]
-                        else:  # bilinear, factorized: rows then columns
+                        elif resampling == "bilinear":
+                            x0 = np.clip(np.floor(sxc).astype(int), 0, w - 1)
+                            y0 = np.clip(np.floor(syc).astype(int), 0, h - 1)
                             x1 = np.clip(x0 + 1, 0, w - 1)
                             y1 = np.clip(y0 + 1, 0, h - 1)
-                            fx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
-                            fy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
-                            top = img[y0]
-                            bot = img[y1]
-                            rows_ = top * (1 - fy) + bot * fy        # (t, w, nb)
-                            tile = rows_[:, x0] * (1 - fx) + rows_[:, x1] * fx
-                        tile = np.clip(np.rint(tile), 0, 255).astype(np.uint8)
-                        tile[~inby, :, :] = 0  # outside source: transparent
-                        tile[:, ~inbx, :] = 0
-                        out_c.append(int(cells.np_cell(zoom, tx, ty)))
-                        out_p.append(tile.tobytes())
-            yield pd.DataFrame({"cell": out_c, "payload": out_p})
+                            fx = np.clip(sxc - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+                            fy = np.clip(syc - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+                            top, bot = img[y0], img[y1]
+                            rows_ = top * (1 - fy) + bot * fy
+                            piece = rows_[:, x0] * (1 - fx) + rows_[:, x1] * fx
+                        else:  # lanczos (separable, windowed two-GEMM)
+                            sup_y = 3.0 * max(sy_scale, 1.0)
+                            sup_x = 3.0 * max(sx_scale, 1.0)
+                            wy0 = max(int(np.floor(syc.min() - sup_y)), 0)
+                            wy1 = min(int(np.ceil(syc.max() + sup_y)) + 1, h)
+                            wx0 = max(int(np.floor(sxc.min() - sup_x)), 0)
+                            wx1 = min(int(np.ceil(sxc.max() + sup_x)) + 1, w)
+                            wy = _lanczos_weights_at(syc, wy0, wy1, sy_scale)
+                            wx = _lanczos_weights_at(sxc, wx0, wx1, sx_scale)
+                            win = img[wy0:wy1, wx0:wx1]
+                            tmp = np.tensordot(wy, win, axes=(1, 0))
+                            piece = np.tensordot(wx, tmp, axes=(1, 1)).transpose(1, 0, 2)
+                        piece = np.clip(np.rint(piece), 0, 255).astype(np.uint8)
+                        o_c.append(int(cells.np_cell(zoom, tx, ty)))
+                        o_x0.append(px0)
+                        o_y0.append(py0)
+                        o_w.append(px1 - px0)
+                        o_h.append(py1 - py0)
+                        o_p.append(piece.tobytes())
+            yield pd.DataFrame(
+                {"cell": o_c, "px0": o_x0, "py0": o_y0,
+                 "pw": o_w, "ph": o_h, "payload": o_p}
+            )
 
-    pieces = blocks.mapInPandas(_warp, "cell long, payload binary")
+    pieces = blocks.mapInPandas(
+        _warp, "cell long, px0 int, py0 int, pw int, ph int, payload binary"
+    )
     nb = blocks.select("bands").first()[0]
 
-    # batched alpha-gated merge: collect_list + ONE scalar Arrow UDF (a
-    # groupBy.applyInPandas here would pay group dispatch per tile)
+    # batched alpha-gated paste: collect_list + ONE scalar Arrow UDF (a
+    # groupBy.applyInPandas here would pay group dispatch per tile); a tile
+    # gathers ~4 small pieces, so the struct list stays tiny
     @F.pandas_udf("binary")
-    def _merge(payloads: pd.Series) -> pd.Series:
+    def _merge(pieces_col: pd.Series) -> pd.Series:
         out = []
-        for lst in payloads:
-            acc = None
-            for p in lst:
-                a = np.frombuffer(p, np.uint8).reshape(-1, nb)
-                if acc is None:
-                    acc = a.copy()
-                else:
-                    gate = a[:, -1] > 0  # alpha-gated copy (P4)
-                    acc[gate] = a[gate]
-            out.append(acc.tobytes())
+        for lst in pieces_col:
+            canvas = np.zeros((t, t, nb), dtype=np.uint8)
+            for pc in lst:
+                ph, pw = int(pc["ph"]), int(pc["pw"])
+                x0, y0 = int(pc["px0"]), int(pc["py0"])
+                a = np.frombuffer(pc["payload"], np.uint8).reshape(ph, pw, nb)
+                gate = a[:, :, -1] > 0  # alpha-gated copy (P4)
+                dst = canvas[y0:y0 + ph, x0:x0 + pw]
+                dst[gate] = a[gate]
+            out.append(canvas.tobytes())
         return pd.Series(out)
 
-    packed = pieces.groupBy("cell").agg(F.collect_list("payload").alias("ps"))
+    packed = pieces.groupBy("cell").agg(
+        F.collect_list(F.struct("px0", "py0", "pw", "ph", "payload")).alias("ps")
+    )
     return packed.select("cell", _merge("ps").alias("payload"))
 
 

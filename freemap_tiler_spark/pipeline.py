@@ -124,14 +124,19 @@ def run_tiler(
 
     with m.stage("encode_write") as h:
         levels = L.read_pyramid(spark, root)
-        if insert_empty:
-            bbox = source_bbox(blocks)
-            cover = raster_ops.tile_cover(spark, bbox, max_zoom)
-            levels = levels.unionByName(raster_ops.empty_markers(cover, levels))
         store.write_tiles(
             spark, levels.where("length(payload) > 0"), root, fmt, quality,
             tile_size, blocks.select("bands").first()[0],
         )
+        if insert_empty:
+            # known-empty markers bypass the encode path entirely (they
+            # have no pixels): appended to the store as NULL tile_data
+            # rows so the resume anti-join can skip them next run
+            # (src/processor.rs:186-190 semantics).
+            bbox = source_bbox(blocks)
+            cover = raster_ops.tile_cover(spark, bbox, max_zoom)
+            markers = raster_ops.empty_markers(cover, levels)
+            store.append_empty_markers(spark, markers, root)
         h["rows"] = sum(counts.values())
 
     with m.stage("metadata"):

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from freemap_tiler_spark.operators import pyramid as P
 
 LINEAGE_SCHEMA = (
-    "level int, row_count long, min_cell long, max_cell long, seconds double, status string"
+    "level int, partition int, row_count long, min_cell long, max_cell long, "
+    "seconds double, status string"
 )
 
 
@@ -45,9 +46,12 @@ def _lineage_dir(root: str) -> str:
 def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
     path = _lineage_dir(root)
     try:
-        return spark.read.parquet(path)
+        lin = spark.read.parquet(path)
     except Exception:
         return None
+    if "partition" not in lin.columns:  # pre-per-partition stores: summaries only
+        lin = lin.withColumn("partition", F.lit(-1))
+    return lin
 
 
 def committed_levels(spark: SparkSession, root: str) -> set[int]:
@@ -56,18 +60,35 @@ def committed_levels(spark: SparkSession, root: str) -> set[int]:
         return set()
     return {
         r[0]
-        for r in lin.where(F.col("status") == "committed").select("level").distinct().collect()
+        for r in lin.where(
+            (F.col("status") == "committed") & (F.col("partition") == -1)
+        ).select("level").distinct().collect()
     }
 
 
 def _commit_level(
     spark: SparkSession, root: str, level: int, df_written: DataFrame, seconds: float
-) -> None:
-    stats = df_written.agg(
+) -> int:
+    """Commit a written level: ONE job computes per-partition lineage rows
+    (cell-range watermark + row count per parquet split — the north rule's
+    per-partition checkpoint), the level summary (partition = -1) is folded
+    driver-side from those few rows.  Returns the level row count."""
+    parts = df_written.groupBy(F.spark_partition_id().alias("part")).agg(
         F.count("*").alias("n"), F.min("cell").alias("mn"), F.max("cell").alias("mx")
-    ).first()
-    row = [(level, stats["n"], stats["mn"], stats["mx"], seconds, "committed")]
-    spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(_lineage_dir(root))
+    ).collect()
+    rows = [
+        (level, int(p["part"]), p["n"], p["mn"], p["mx"], seconds, "committed")
+        for p in parts
+    ]
+    total = sum(p["n"] for p in parts)
+    rows.append((
+        level, -1, total,
+        min((p["mn"] for p in parts), default=None),
+        max((p["mx"] for p in parts), default=None),
+        seconds, "committed",
+    ))
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(_lineage_dir(root))
+    return total
 
 
 def level_path(root: str, level: int) -> str:
@@ -106,31 +127,40 @@ def write_pyramid(
         t0 = time.time()
         leaves.write.mode("overwrite").parquet(level_path(root, max_zoom))
         current = spark.read.parquet(level_path(root, max_zoom))
-        _commit_level(spark, root, max_zoom, current, time.time() - t0)
-    out[z] = current.count()
+        out[z] = _commit_level(spark, root, max_zoom, current, time.time() - t0)
+    if z not in out:
+        out[z] = current.count()
 
     while z > min_zoom:
         k = min(levels_per_shuffle, z - min_zoom)
+        k = P.clamp_levels_per_shuffle(k, tile_size, bands)
+        k = min(k, z - min_zoom)
         group = list(range(z - k, z))  # levels produced by this compose
         t0 = time.time()
+        cache: list = []
         produced = P.compose_pyramid(
-            current, z, z - k, tile_size, bands, levels_per_shuffle=k
+            current, z, z - k, tile_size, bands, levels_per_shuffle=k,
+            round_cache=cache,
         ).where(P.cells.cell_zoom("cell") < z)
         produced = produced.persist()
         for lv in sorted(group, reverse=True):
             lv_df = produced.where(P.cells.cell_zoom("cell") == lv)
             lv_df.write.mode("overwrite").parquet(level_path(root, lv))
             written = spark.read.parquet(level_path(root, lv))
-            _commit_level(spark, root, lv, written, time.time() - t0)
-            out[lv] = written.count()
+            out[lv] = _commit_level(spark, root, lv, written, time.time() - t0)
         produced.unpersist()
+        for df in cache:
+            df.unpersist()
         z -= k
         current = spark.read.parquet(level_path(root, z))
 
     # report committed-and-skipped levels from their lineage counts
     lin = read_lineage(spark, root)
     if lin is not None:
-        for r in lin.where(F.col("status") == "committed").collect():
+        rows = lin.where(
+            (F.col("status") == "committed") & (F.col("partition") == -1)
+        ).collect()
+        for r in rows:
             out.setdefault(r["level"], r["row_count"])
     return out
 

@@ -56,6 +56,20 @@ def write_tiles(
     return out
 
 
+def append_empty_markers(spark: SparkSession, markers: DataFrame, root: str) -> None:
+    """Append known-empty tiles (P5/X8, src/processor.rs:186-190,594-601) to
+    the store as NULL tile_data rows — present (so resume skips them), but
+    carrying no payload and never passing through the encoder."""
+    keyed = markers.select(
+        cells.cell_zoom("cell").alias("zoom"),
+        cells.cell_x("cell").alias("x"),
+        cells.reversed_y(cells.cell_zoom("cell"), cells.cell_y("cell")).alias("tms_y"),
+        F.lit(None).cast("binary").alias("tile_data"),
+        F.lit(None).cast("binary").alias("tile_alpha"),
+    )
+    keyed.write.mode("append").partitionBy("zoom").parquet(os.path.join(root, "store"))
+
+
 def read_tiles(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "store"))
 

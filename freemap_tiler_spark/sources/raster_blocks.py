@@ -53,7 +53,11 @@ def raster_blocks(
     """
     x0, y0 = 1_870_000.0, 6_280_000.0  # ~Slovakia in EPSG:3857
     px = 100.0  # meters/pixel
-    idx = spark.range(0, grid * grid, numPartitions=min(grid * grid, 32))
+    # partitions scale PAST core count (4 waves' worth): a one-wave layout
+    # (numPartitions == cores) makes the whole warp wall-clock equal its
+    # slowest task — measured as NEGATIVE core-count scaling at local[32]
+    par = spark.sparkContext.defaultParallelism
+    idx = spark.range(0, grid * grid, numPartitions=min(grid * grid, max(32, par * 4)))
 
     @F.pandas_udf(BinaryType())
     def gen_block(bx: pd.Series, by: pd.Series) -> pd.Series:

@@ -21,6 +21,10 @@ daily 100 TB corpus refreshes feasible.
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,28 +60,47 @@ def incremental_update(
 
     out: dict[int, int] = {}
     current_dirty = new_leaves  # (cell, payload) freshly recomputed
+    prev_cache: list = []   # round cache backing THIS iteration's dirty set
+    retired: list = []      # cache whose last consumer ran last iteration
     for z in range(max_zoom, min_zoom - 1, -1):
-        stored = spark.read.parquet(L.level_path(root, z))
+        t0 = time.time()
+        final = L.level_path(root, z)
+        stored = spark.read.parquet(final)
         dirty_cells = current_dirty.select("cell").distinct()
         merged = stored.join(dirty_cells, "cell", "left_anti").unionByName(
             current_dirty
         )
-        merged.write.mode("overwrite").parquet(L.level_path(root, z) + ".tmp")
-        tmp = spark.read.parquet(L.level_path(root, z) + ".tmp")
-        tmp.write.mode("overwrite").parquet(L.level_path(root, z))
+        # write ONCE to a staging dir, then swap by rename — no second
+        # read-back-and-rewrite (2x write amplification) and no leaked
+        # .tmp dirs; the rename is the commit point, recorded in lineage
+        # so a crash between swap and commit is detectable on resume.
+        tmp_path = final + ".staging"
+        merged.write.mode("overwrite").parquet(tmp_path)
         out[z] = dirty_cells.count()
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp_path, final)
+        written = spark.read.parquet(final)
+        L._commit_level(spark, root, z, written, time.time() - t0)
+        # prev_cache still backs parent_cells below (it executes at the
+        # NEXT level's write) — retire it one iteration later
+        for df in retired:
+            df.unpersist()
+        retired, prev_cache = prev_cache, []
         if z == min_zoom:
+            for df in retired:
+                df.unpersist()
             break
         # recompute dirty parents from stored children (clean siblings
         # read back via semi-join on parent)
         parent_cells = dirty_cells.select(cells.parent("cell").alias("pcell")).distinct()
-        level_full = spark.read.parquet(L.level_path(root, z))
+        level_full = spark.read.parquet(final)
         kids = level_full.join(
             parent_cells,
             cells.parent(level_full["cell"]) == parent_cells["pcell"],
             "left_semi",
         )
         current_dirty = P.compose_pyramid(
-            kids, z, z - 1, tile_size, 2, levels_per_shuffle=1
+            kids, z, z - 1, tile_size, 2, levels_per_shuffle=1,
+            round_cache=prev_cache,
         ).where(cells.cell_zoom("cell") == z - 1)
     return out

@@ -46,10 +46,19 @@ def test_crash_resume_byte_identical(spark, sf_dir):
             shutil.rmtree(L.level_path(root, z))
         out = L.write_pyramid(spark, leaves, root, 5, 0, 32)
         assert set(out) == set(range(6))
-        # committed levels 3-5 were NOT recommitted (one lineage row each);
+        # committed levels 3-5 were NOT recommitted (one summary row each);
         # only the crashed levels 0-2 gained fresh commits
-        lin = L.read_lineage(spark, root).groupBy("level").count().collect()
-        assert {r["level"]: r["count"] for r in lin} == {z: 1 for z in range(6)}
+        lin_df = L.read_lineage(spark, root)
+        summaries = lin_df.where("partition = -1").groupBy("level").count().collect()
+        assert {r["level"]: r["count"] for r in summaries} == {z: 1 for z in range(6)}
+        # per-partition lineage rows sum to the level summary (the tile-range
+        # watermark + row-count checkpoint per parquet split)
+        import pyspark.sql.functions as SF
+        parts = lin_df.where("partition >= 0").groupBy("level").agg(
+            SF.sum("row_count").alias("n")).collect()
+        sums = {r["level"]: r["n"] for r in parts}
+        for r in lin_df.where("partition = -1").collect():
+            assert sums[r["level"]] == r["row_count"]
         full2 = {r.cell: bytes(r.payload) for r in L.read_pyramid(spark, root).collect()}
         assert full1 == full2
     finally:

@@ -159,3 +159,83 @@ def test_pipeline_polygon_prune(spark, blocks):
         shutil.rmtree(root2, ignore_errors=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_warp_lanczos_aligned_identity(spark):
+    """When source pixels coincide exactly with target-tile pixels, the
+    Lanczos weights collapse to a delta and the warp must copy values
+    bit-exactly (kernel normalization + center alignment check)."""
+    from freemap_tiler_spark.functions import mercator
+
+    zoom, t = 9, 32
+    span = mercator.WORLD / (1 << zoom)
+    px = span / t
+    tx0, ty0 = 279, 175
+    x0 = tx0 * span - mercator.ORIGIN
+    y0 = mercator.ORIGIN - ty0 * span
+    base = raster_blocks(spark, grid=1, width=t, height=t, bands=2)
+    df = base.withColumn(
+        "geo_transform",
+        F.array(F.lit(x0), F.lit(px), F.lit(0.0), F.lit(y0), F.lit(0.0), F.lit(-px)),
+    )
+    tiles = raster_ops.warp_blocks_to_tiles(df, zoom, t, resampling="lanczos")
+    rows = {
+        (int(z), int(x), int(y)): r.payload
+        for r in tiles.collect()
+        for z, x, y in [cells.np_cell_zxy(np.array([r.cell]))]
+    }
+    # the aligned tile itself must be a bit-exact copy (boundary columns at
+    # sx == -0.5 may additionally assign to the left/top neighbor — the
+    # exactly-once ownership rule at perfectly aligned edges)
+    got = np.frombuffer(rows[(zoom, tx0, ty0)], np.uint8).reshape(t, t, 2)
+    want = block_pixels(0, 0, t, t, 2)
+    lit = want[:, :, -1] > 0
+    assert (got[lit] == want[lit]).all()          # bit-exact where opaque
+    assert (got[~lit] == 0).all()                 # transparent black elsewhere
+
+
+def test_warp_lanczos_constant_preserved(spark):
+    """Constant opaque source -> constant warped tile (weight rows sum to 1)."""
+    from pyspark.sql.types import BinaryType
+
+    base = raster_blocks(spark, grid=2, width=64, height=64, bands=2)
+    const = np.full((64, 64, 2), 137, np.uint8).tobytes()
+
+    @F.udf(BinaryType())
+    def _const(_):
+        return const
+
+    df = base.withColumn("data", _const("data"))
+    tiles = raster_ops.warp_blocks_to_tiles(df, 9, 32, resampling="lanczos")
+    for r in tiles.collect():
+        img = np.frombuffer(r.payload, np.uint8).reshape(32, 32, 2)
+        lit = img[:, :, 1] > 0
+        assert lit.any()
+        assert (img[lit][:, 0] == 137).all()
+
+
+def test_insert_empty_markers_reach_store(spark, tmp_path):
+    """insert_empty=True: covered-but-empty tiles land in the store as
+    NULL tile_data rows (regression: markers were unioned into levels and
+    then dropped by the payload-length filter before the store write)."""
+    from freemap_tiler_spark.pipeline import run_tiler
+    from freemap_tiler_spark.plans import store
+
+    blocks = raster_blocks(spark, grid=1, width=64, height=64, bands=2)
+    root = str(tmp_path / "tiler_empty")
+    run_tiler(spark, blocks, root, max_zoom=11, min_zoom=10, tile_size=32,
+              resume=False, insert_empty=True)
+    st = store.read_tiles(spark, root)
+    markers = st.where(F.col("tile_data").isNull())
+    real = st.where(F.col("tile_data").isNotNull())
+    assert real.count() > 0
+    # cover at z11 of a 6.4km block is wider than the emitted tiles only if
+    # there are empty cover cells; the invariant that MUST hold: markers
+    # and real tiles are disjoint and their union is the z11 cover
+    from freemap_tiler_spark.operators import raster_ops as RO
+    from freemap_tiler_spark.sources.raster_blocks import source_bbox
+
+    cover_n = RO.tile_cover(spark, source_bbox(blocks), 11).count()
+    z11 = st.where(F.col("zoom") == 11)
+    assert z11.count() == cover_n
+    assert z11.select("x", "tms_y").distinct().count() == cover_n

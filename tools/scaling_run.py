@@ -62,8 +62,11 @@ n_leaves = leaves.count()
 q["rasterize"] = time.time() - t0   # == warp stage
 
 t0 = time.time()
-levels = pyramid.compose_pyramid(leaves, maxz, 0, TILE, 2, levels_per_shuffle=5).persist(StorageLevel.MEMORY_AND_DISK)
+rc = []
+levels = pyramid.compose_pyramid(leaves, maxz, 0, TILE, 2, levels_per_shuffle=5, round_cache=rc).persist(StorageLevel.MEMORY_AND_DISK)
 n_tiles = levels.count()
+for df in rc:
+    df.unpersist()
 q["compose"] = time.time() - t0
 
 t0 = time.time()
@@ -91,7 +94,10 @@ pip_rows = pip_join.pip_join_broadcast(pts, polys).count()
 q["pip_join"] = time.time() - t0
 
 t0 = time.time()
-probes = pts.limit(2000).withColumn("probe_id", F.monotonically_increasing_id())
+n_pts = pts.count()
+every = max(n_pts // 2000, 1)
+probes = pts.where(F.xxhash64("lon", "lat") % every == 0).withColumn(
+    "probe_id", F.xxhash64("lon", "lat"))
 points = pts.withColumn("point_id", F.monotonically_increasing_id())
 knn_rows = knn.knn_join(probes, points, k=5, zoom=14).count()
 q["knn"] = time.time() - t0
