@@ -209,6 +209,9 @@ def sector_in_ancestor_y(cell_col, n: int) -> Column:
 
 
 def reversed_y(zoom, y) -> Column:
-    """TMS row flip 2^z - 1 - y (src/tile_inserter.rs:54)."""
-    n = F.pow(F.lit(2.0), _c(zoom).cast("double")).cast("long")
+    """TMS row flip 2^z - 1 - y (src/tile_inserter.rs:54).
+
+    Integer shift, not pow(2.0, z): the double path is exact only for
+    z <= 29 and inconsistent with the bit math used everywhere else."""
+    n = F.call_function("shiftleft", F.lit(1).cast("long"), _c(zoom).cast("int"))
     return n - 1 - _c(y).cast("long")

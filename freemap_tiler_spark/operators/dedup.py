@@ -83,12 +83,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
 
     bands must divide num_hashes; band bucket = md5 hash of the band's
     signature slice.  Self-join on (band_idx, bucket) — the classic
     LSH join; dedup pairs found in multiple bands.
+
+    Hot-bucket guard: a degenerate bucket of k near-identical docs would
+    emit k^2/2 pairs from ONE task (AQE splits the shuffle, not the
+    quadratic pair count).  Buckets larger than ``max_bucket_size`` switch
+    to a star pattern — every member pairs with the bucket's min id — which
+    keeps the bucket's docs in one connected dedup component at O(k) pairs.
+    (Documented approximation: non-star pairs of an over-size bucket are
+    not emitted; for dedup clustering the star is sufficient.)
     """
     r = num_hashes // bands
     # materialize the md5 shingle hashes ONCE as a column, then derive all
@@ -124,9 +133,14 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n"), F.min("_id").alias("_rep")
+    )
+    tagged = banded.join(sizes, ["band", "bucket"])
+    small = tagged.where(F.col("_n") <= max_bucket_size).select("_id", "band", "bucket")
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs_small = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -134,9 +148,11 @@ def minhash_lsh_pairs(
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    pairs_big = tagged.where(
+        (F.col("_n") > max_bucket_size) & (F.col("_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def jaccard_verify(
@@ -168,20 +184,32 @@ def jaccard_verify(
 
 def simhash(text_col, bits: int = 32) -> Column:
     """SimHash: bit b of the result = sign of sum over tokens of
-    (+1 if bit b of token_hash set else -1).  Pure Column math
-    (aggregate over the token array)."""
+    (+1 if bit b of token_hash set else -1).  Pure Column math.
+
+    ONE aggregate pass carrying an array-of-votes accumulator — the naive
+    per-bit form (``bits`` independent F.aggregate calls) scans the token
+    array 32 times and builds a 32x-deep codegen tree."""
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     hashes = F.transform(toks, token_hash)
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        out = out.bitwiseOR(F.when(vote >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
-    return out
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes,
+        acc0,
+        lambda acc, h: F.zip_with(
+            acc, idx,
+            lambda a, b: a + F.when(
+                F.call_function("shiftright", h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    bit_vals = F.zip_with(
+        votes, idx,
+        lambda v, b: F.when(
+            v >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), b.cast("int"))
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
 
 def simhash_near_dups(

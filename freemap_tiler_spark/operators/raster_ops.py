@@ -67,20 +67,21 @@ def mask_nodata(blocks: DataFrame) -> DataFrame:
     return blocks.mapInPandas(_mask, schema)
 
 
-def _inverse_map_source_px(
-    tx: int, ty: int, zoom: int, t: int, gt: np.ndarray, crs: str,
-    block_x: int, block_y: int, w: int, h: int,
+def _inverse_map_global_px(
+    g0x: int, g1x: int, g0y: int, g1y: int, zoom: int, t: int,
+    gt: np.ndarray, crs: str, block_x: int, block_y: int, w: int, h: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """For each target-tile pixel center (3857 grid), the fractional source
-    pixel coordinate inside THIS block — returned as SEPARABLE 1-D maps
-    (sx per column, sy per row): both supported transforms (3857 identity,
-    4326 inverse-mercator — the two choices of src/main.rs:154-162) are
-    axis-aligned, so the 2-D map factorizes and bilinear sampling needs no
+    """For each GLOBAL target pixel center (index tx*t + i on the zoom's
+    3857 grid) in [g0x, g1x) x [g0y, g1y), the fractional source pixel
+    coordinate inside THIS block — returned as SEPARABLE 1-D maps (sx per
+    column, sy per row): both supported transforms (3857 identity, 4326
+    inverse-mercator — the two choices of src/main.rs:154-162) are
+    axis-aligned, so the 2-D map factorizes and sampling needs no
     meshgrid."""
     assert gt[2] == 0.0 and gt[4] == 0.0, "rotated geo_transform unsupported"
-    span = mercator.WORLD / (1 << zoom)
-    mx = (tx + (np.arange(t) + 0.5) / t) * span - mercator.ORIGIN
-    my = mercator.ORIGIN - (ty + (np.arange(t) + 0.5) / t) * span
+    span_px = mercator.WORLD / (1 << zoom) / t
+    mx = (np.arange(g0x, g1x) + 0.5) * span_px - mercator.ORIGIN
+    my = mercator.ORIGIN - (np.arange(g0y, g1y) + 0.5) * span_px
     if crs == "EPSG:4326":
         gx = np.degrees(mx / mercator.R)
         gy = np.degrees(2.0 * np.arctan(np.exp(my / mercator.R)) - np.pi / 2.0)
@@ -95,27 +96,42 @@ def _inverse_map_source_px(
     return sx, sy
 
 
-def _lanczos_weights_at(
-    centers: np.ndarray, src_lo: int, src_hi: int, scale: float
+def _lanczos_apply_axis0(
+    arr: np.ndarray, centers: np.ndarray, scale: float
 ) -> np.ndarray:
-    """(m, src_hi-src_lo) float32 Lanczos-3 weight rows at arbitrary
-    fractional source centers (GRA_Lanczos equivalent, src/warp.rs:19).
-    Kernel stretched by ``scale`` when downscaling; edge clamp by index
-    clip; rows normalized."""
+    """(src, W, C) -> (m, W, C): Lanczos-3 resample along axis 0 at
+    arbitrary fractional source ``centers`` (GRA_Lanczos equivalent,
+    src/warp.rs:19).  Banded: (m, taps) kernel + gather + einsum — a dense
+    (m, src) weight GEMM here burns src/taps x the needed FLOPs.  Kernel
+    stretched by ``scale`` when downscaling; index clip == edge clamp;
+    rows normalized (clip-accumulate equals replicate-read)."""
     from freemap_tiler_spark.functions.resample import lanczos_kernel
 
     sc = max(float(scale), 1.0)
     support = 3.0 * sc
-    n = src_hi - src_lo
-    w = np.zeros((len(centers), n), dtype=np.float32)
-    for j, c in enumerate(centers):
-        idx = np.arange(int(np.floor(c - support)), int(np.ceil(c + support)) + 1)
-        k = lanczos_kernel((idx - c) / sc).astype(np.float32)
-        np.add.at(w[j], np.clip(idx, src_lo, src_hi - 1) - src_lo, k)
-        s = w[j].sum()
-        if s != 0:
-            w[j] /= s
-    return w
+    lo = np.floor(centers - support).astype(np.int64)
+    taps = int(np.ceil(2.0 * support)) + 2
+    idx = lo[:, None] + np.arange(taps)[None, :]
+    k = lanczos_kernel((idx - centers[:, None]) / sc).astype(np.float32)
+    k /= k.sum(axis=1, keepdims=True)
+    g = arr[np.clip(idx, 0, arr.shape[0] - 1)]          # (m, taps, W, C)
+    return np.einsum("mt,mt...->m...", k, g, optimize=True)
+
+
+def _inverse_map_source_px_2d(
+    tx: int, ty: int, zoom: int, t: int, gt: np.ndarray, from_merc,
+    block_x: int, block_y: int, w: int, h: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generic (non-axis-aligned) CRS: full (t, t) fractional source-pixel
+    maps via the registered from_merc transform (functions/crs.py)."""
+    span = mercator.WORLD / (1 << zoom)
+    mx = (tx + (np.arange(t) + 0.5) / t) * span - mercator.ORIGIN
+    my = mercator.ORIGIN - (ty + (np.arange(t) + 0.5) / t) * span
+    gmx, gmy = np.meshgrid(mx, my)
+    gx, gy = from_merc(gmx.ravel(), gmy.ravel())
+    sx = (gx.reshape(t, t) - gt[0]) / gt[1] - block_x * w - 0.5
+    sy = (gy.reshape(t, t) - gt[3]) / gt[5] - block_y * h - 0.5
+    return sx, sy
 
 
 def warp_blocks_to_tiles(
@@ -145,10 +161,20 @@ def warp_blocks_to_tiles(
                 gt = np.asarray(row.geo_transform, float)
                 w, h, nb = int(row.width), int(row.height), int(row.bands)
                 img = np.frombuffer(row.data, np.uint8).reshape(h, w, nb).astype(np.float32)
+                # generic-CRS hook (UTM auto, register_crs for custom);
+                # None -> separable native paths (3857 identity / 4326)
+                from freemap_tiler_spark.functions import crs as crs_mod
+                pair = crs_mod.lookup_crs(row.crs)
                 # block corner coords -> 3857 bbox -> covered tiles
                 cx = gt[0] + (row.block_x * w + np.array([0.0, w])) * gt[1]
                 cy = gt[3] + (row.block_y * h + np.array([0.0, h])) * gt[5]
-                if row.crs == "EPSG:4326":
+                if pair is not None:
+                    bx0, by0, bx1, by1 = crs_mod.densified_merc_bbox(
+                        pair[0], cx.min(), cy.min(), cx.max(), cy.max()
+                    )
+                    bx = np.array([bx0, bx1])
+                    by = np.array([by0, by1])
+                elif row.crs == "EPSG:4326":
                     bx, by = mercator.np_lonlat_to_merc(cx, np.clip(cy, -85.06, 85.06))
                 else:
                     bx, by = cx, cy
@@ -161,54 +187,107 @@ def warp_blocks_to_tiles(
                 # warp downscales); axis-aligned transforms -> per-axis
                 sx_scale = span / t / abs(gt[1])
                 sy_scale = span / t / abs(gt[5])
-                for ty in range(max(ty0, 0), min(ty1, (1 << zoom) - 1) + 1):
+                for ty in (range(max(ty0, 0), min(ty1, (1 << zoom) - 1) + 1)
+                           if pair is not None else ()):
                     for tx in range(max(tx0, 0), min(tx1, (1 << zoom) - 1) + 1):
-                        sx, sy = _inverse_map_source_px(
-                            tx, ty, zoom, t, gt, row.crs, row.block_x, row.block_y, w, h
-                        )
-                        inbx = (sx >= -0.5) & (sx < w - 0.5)
-                        inby = (sy >= -0.5) & (sy < h - 0.5)
-                        if not (inbx.any() and inby.any()):
-                            continue
-                        # crop to the in-block target rectangle (the maps
-                        # are monotone, so the masks are contiguous runs)
-                        xi, yi = np.nonzero(inbx)[0], np.nonzero(inby)[0]
-                        px0, px1 = int(xi[0]), int(xi[-1]) + 1
-                        py0, py1 = int(yi[0]), int(yi[-1]) + 1
-                        sxc, syc = sx[px0:px1], sy[py0:py1]
-                        if resampling == "nearest":
-                            piece = img[np.clip(np.rint(syc).astype(int), 0, h - 1)][
-                                :, np.clip(np.rint(sxc).astype(int), 0, w - 1)
-                            ]
-                        elif resampling == "bilinear":
-                            x0 = np.clip(np.floor(sxc).astype(int), 0, w - 1)
-                            y0 = np.clip(np.floor(syc).astype(int), 0, h - 1)
+                        if pair is not None:
+                            # non-separable CRS: full 2-D map, bilinear
+                            # sample (2-D Lanczos needs an anisotropic
+                            # kernel — documented fallback)
+                            sx2, sy2 = _inverse_map_source_px_2d(
+                                tx, ty, zoom, t, gt, pair[1],
+                                row.block_x, row.block_y, w, h,
+                            )
+                            inb = (
+                                (sx2 >= -0.5) & (sx2 < w - 0.5)
+                                & (sy2 >= -0.5) & (sy2 < h - 0.5)
+                            )
+                            if not inb.any():
+                                continue
+                            yi2, xi2 = np.nonzero(inb)
+                            py0, py1 = int(yi2.min()), int(yi2.max()) + 1
+                            px0, px1 = int(xi2.min()), int(xi2.max()) + 1
+                            sxc2 = sx2[py0:py1, px0:px1]
+                            syc2 = sy2[py0:py1, px0:px1]
+                            x0 = np.clip(np.floor(sxc2).astype(int), 0, w - 1)
+                            y0 = np.clip(np.floor(syc2).astype(int), 0, h - 1)
                             x1 = np.clip(x0 + 1, 0, w - 1)
                             y1 = np.clip(y0 + 1, 0, h - 1)
-                            fx = np.clip(sxc - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
-                            fy = np.clip(syc - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
-                            top, bot = img[y0], img[y1]
-                            rows_ = top * (1 - fy) + bot * fy
-                            piece = rows_[:, x0] * (1 - fx) + rows_[:, x1] * fx
-                        else:  # lanczos (separable, windowed two-GEMM)
-                            sup_y = 3.0 * max(sy_scale, 1.0)
-                            sup_x = 3.0 * max(sx_scale, 1.0)
-                            wy0 = max(int(np.floor(syc.min() - sup_y)), 0)
-                            wy1 = min(int(np.ceil(syc.max() + sup_y)) + 1, h)
-                            wx0 = max(int(np.floor(sxc.min() - sup_x)), 0)
-                            wx1 = min(int(np.ceil(sxc.max() + sup_x)) + 1, w)
-                            wy = _lanczos_weights_at(syc, wy0, wy1, sy_scale)
-                            wx = _lanczos_weights_at(sxc, wx0, wx1, sx_scale)
-                            win = img[wy0:wy1, wx0:wx1]
-                            tmp = np.tensordot(wy, win, axes=(1, 0))
-                            piece = np.tensordot(wx, tmp, axes=(1, 1)).transpose(1, 0, 2)
-                        piece = np.clip(np.rint(piece), 0, 255).astype(np.uint8)
+                            fx2 = np.clip(sxc2 - x0, 0.0, 1.0).astype(np.float32)[:, :, None]
+                            fy2 = np.clip(syc2 - y0, 0.0, 1.0).astype(np.float32)[:, :, None]
+                            piece = (
+                                img[y0, x0] * (1 - fy2) * (1 - fx2)
+                                + img[y0, x1] * (1 - fy2) * fx2
+                                + img[y1, x0] * fy2 * (1 - fx2)
+                                + img[y1, x1] * fy2 * fx2
+                            )
+                            piece = np.clip(np.rint(piece), 0, 255).astype(np.uint8)
+                            piece[~inb[py0:py1, px0:px1]] = 0
+                            o_c.append(int(cells.np_cell(zoom, tx, ty)))
+                            o_x0.append(px0)
+                            o_y0.append(py0)
+                            o_w.append(px1 - px0)
+                            o_h.append(py1 - py0)
+                            o_p.append(piece.tobytes())
+                            continue
+                if pair is not None:
+                    continue  # 2-D tiles emitted above; next block
+                # --- separable megatile warp (src/processor.rs:327-451):
+                # resample the block ONCE over its whole covered target
+                # extent, then slice per-tile pieces — per-tile resampling
+                # re-touches each source pixel ~cover times for nothing
+                txa, txb = max(tx0, 0), min(tx1, (1 << zoom) - 1)
+                tya, tyb = max(ty0, 0), min(ty1, (1 << zoom) - 1)
+                if txa > txb or tya > tyb:
+                    continue
+                g0x, g1x = txa * t, (txb + 1) * t
+                g0y, g1y = tya * t, (tyb + 1) * t
+                sx, sy = _inverse_map_global_px(
+                    g0x, g1x, g0y, g1y, zoom, t, gt, row.crs,
+                    row.block_x, row.block_y, w, h,
+                )
+                inbx = (sx >= -0.5) & (sx < w - 0.5)
+                inby = (sy >= -0.5) & (sy < h - 0.5)
+                if not (inbx.any() and inby.any()):
+                    continue
+                # contiguous in-block runs (monotone maps)
+                xi, yi = np.nonzero(inbx)[0], np.nonzero(inby)[0]
+                gx_lo, gx_hi = g0x + int(xi[0]), g0x + int(xi[-1]) + 1
+                gy_lo, gy_hi = g0y + int(yi[0]), g0y + int(yi[-1]) + 1
+                sxc = sx[xi[0]:xi[-1] + 1]
+                syc = sy[yi[0]:yi[-1] + 1]
+                if resampling == "nearest":
+                    mega = img[np.clip(np.rint(syc).astype(int), 0, h - 1)][
+                        :, np.clip(np.rint(sxc).astype(int), 0, w - 1)
+                    ]
+                elif resampling == "bilinear":
+                    x0 = np.clip(np.floor(sxc).astype(int), 0, w - 1)
+                    y0 = np.clip(np.floor(syc).astype(int), 0, h - 1)
+                    x1 = np.clip(x0 + 1, 0, w - 1)
+                    y1 = np.clip(y0 + 1, 0, h - 1)
+                    fx = np.clip(sxc - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+                    fy = np.clip(syc - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+                    top, bot = img[y0], img[y1]
+                    rows_ = top * (1 - fy) + bot * fy
+                    mega = rows_[:, x0] * (1 - fx) + rows_[:, x1] * fx
+                else:  # lanczos (banded separable, rows then cols)
+                    tmp = _lanczos_apply_axis0(img, syc, sy_scale)
+                    mega = _lanczos_apply_axis0(
+                        tmp.transpose(1, 0, 2), sxc, sx_scale
+                    ).transpose(1, 0, 2)
+                mega = np.clip(np.rint(mega), 0, 255).astype(np.uint8)
+                # slice the megatile into per-tile pieces
+                for ty in range(gy_lo // t, (gy_hi - 1) // t + 1):
+                    ra, rb = max(ty * t, gy_lo), min((ty + 1) * t, gy_hi)
+                    for tx in range(gx_lo // t, (gx_hi - 1) // t + 1):
+                        ca, cb = max(tx * t, gx_lo), min((tx + 1) * t, gx_hi)
+                        piece = mega[ra - gy_lo:rb - gy_lo, ca - gx_lo:cb - gx_lo]
                         o_c.append(int(cells.np_cell(zoom, tx, ty)))
-                        o_x0.append(px0)
-                        o_y0.append(py0)
-                        o_w.append(px1 - px0)
-                        o_h.append(py1 - py0)
-                        o_p.append(piece.tobytes())
+                        o_x0.append(ca - tx * t)
+                        o_y0.append(ra - ty * t)
+                        o_w.append(cb - ca)
+                        o_h.append(rb - ra)
+                        o_p.append(np.ascontiguousarray(piece).tobytes())
             yield pd.DataFrame(
                 {"cell": o_c, "px0": o_x0, "py0": o_y0,
                  "pw": o_w, "ph": o_h, "payload": o_p}

@@ -61,3 +61,19 @@ def test_ann_subset_quality(spark, sf_dir):
     rows = ann.collect()
     assert len(rows) > 0
     assert all(r.probe_id != r.vec_id or abs(r.cos - 1.0) < 1e-6 for r in rows)
+
+
+def test_lsh_hot_bucket_star_cap(spark):
+    """A planted bucket of 2000 identical docs must NOT emit O(k^2) pairs:
+    over-size buckets switch to a star around the min id (O(k) pairs,
+    same connected dedup component)."""
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact duplicated web page text body").alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket_size=64)
+    rows = pairs.collect()
+    assert len(rows) == n - 1           # star: one pair per non-representative
+    assert all(r.id_a == 0 for r in rows)
+    assert {r.id_b for r in rows} == set(range(1, n))

@@ -1,5 +1,6 @@
 """Raster path parity: validation, nodata, warp, full pipeline, store."""
 
+import math
 import shutil
 import tempfile
 
@@ -239,3 +240,49 @@ def test_insert_empty_markers_reach_store(spark, tmp_path):
     z11 = st.where(F.col("zoom") == 11)
     assert z11.count() == cover_n
     assert z11.select("x", "tms_y").distinct().count() == cover_n
+
+
+def test_warp_utm_source(spark):
+    """Arbitrary-CRS hook: a WGS84/UTM-33N block warps through the generic
+    2-D path — tiles land at the block's true lon/lat location and constant
+    pixels stay constant (transform + sampling correctness)."""
+    from freemap_tiler_spark.functions import crs as crs_mod
+    from freemap_tiler_spark.functions import mercator
+    from pyspark.sql.types import BinaryType
+
+    # 6.4 km x 6.4 km UTM block centred near (16.9E, 48.6N)
+    cx, cy = crs_mod.tm_forward(np.array([16.9]), np.array([48.6]), 15.0)
+    x0, y0 = float(cx[0]) - 3200.0, float(cy[0]) + 3200.0
+    base = raster_blocks(spark, grid=1, width=64, height=64, bands=2, crs="EPSG:32633")
+    const = np.full((64, 64, 2), 99, np.uint8)
+    const[:, :, 1] = 255
+
+    @F.udf(BinaryType())
+    def _const(_):
+        return const.tobytes()
+
+    df = base.withColumn("data", _const("data")).withColumn(
+        "geo_transform",
+        F.array(F.lit(x0), F.lit(100.0), F.lit(0.0), F.lit(y0), F.lit(0.0), F.lit(-100.0)),
+    )
+    tiles = raster_ops.warp_blocks_to_tiles(df, zoom=11, tile_size=32)
+    rows = tiles.collect()
+    assert rows, "UTM block must produce tiles"
+    keys = {(int(x), int(y)) for r in rows
+            for _, x, y in [cells.np_cell_zxy(np.array([r.cell]))]}
+    want_x, want_y = mercator.np_lonlat_to_tile(16.9, 48.6, 11)
+    assert (int(want_x), int(want_y)) in keys
+    for r in rows:
+        img = np.frombuffer(r.payload, np.uint8).reshape(32, 32, 2)
+        lit = img[:, :, 1] > 0
+        assert (img[lit][:, 0] == 99).all()
+    # total lit area ~ block area: sum of lit pixels * tile-pixel GROUND
+    # area (WebMercator meters are inflated by 1/cos(lat) — a z11 tile at
+    # 48.6N is 19568 merc-m but only ~12.9 true km wide)
+    span = mercator.WORLD / (1 << 11)
+    ground = span / 32 * math.cos(math.radians(48.6))
+    lit_total = sum(
+        int((np.frombuffer(r.payload, np.uint8).reshape(32, 32, 2)[:, :, 1] > 0).sum())
+        for r in rows
+    )
+    assert abs(lit_total * ground ** 2 - 6400.0 ** 2) / 6400.0 ** 2 < 0.05

@@ -52,6 +52,11 @@ def _calibrate():
 calib_ms = _calibrate()
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
 spark.sparkContext.setLogLevel("ERROR")
+# warm every python worker (numpy/pandas imports, Arrow setup) BEFORE the
+# clock starts: worker spool-up is a fixed per-executor cost, not a
+# throughput property — on a real cluster executors are long-lived
+spark.range(cpus * 8, numPartitions=cpus * 8).select(
+    F.pandas_udf("long")(lambda s: s)("id").alias("x")).agg(F.sum("x")).collect()
 q = {}
 
 # ---- raster pyramid (dense tiles: the reference's orthophoto shape) ----
