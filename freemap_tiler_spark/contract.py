@@ -1086,6 +1086,28 @@ def q_rasterize_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's extraction invariant: extract_text(html) must be
+    BYTE-IDENTICAL to the stored text for every url (the graft's per-row
+    parity requirement vs the reference).  Runs on the in-job corpus; the
+    oracle reproduces the url law from the generator constants."""
+    from freemap_tiler_spark.sources.corpus import geotagged_corpus
+
+    c = geotagged_corpus(spark, 2000)
+    return c.select(
+        "url", (T.extract_text("html") == F.col("text")).alias("ok")
+    ).orderBy("url")
+
+
+SQL_EXTRACT_TEXT = """
+SELECT printf('https://example.org/%s/%08d',
+              (['en','de','sk','cs'])[CAST(i % 4 AS INT) + 1],
+              CAST(i AS BIGINT)) AS url,
+       TRUE AS ok
+FROM (SELECT UNNEST(RANGE(0, 2000)) AS i) ORDER BY url
+"""
+
+
 def _sql_pyramid_build() -> str:
     """Ancestor closure of the z8 leaf set (same cover law as the green
     pyramid_keys oracle, per-tile rows) + the constant payload length of a
@@ -1246,6 +1268,7 @@ QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "similarity_topk": q_similarity_topk,
     "event_window": q_event_window,
+    "extract_text": q_extract_text,
     "knn_grid": q_knn_grid,
     "pip_join_cells": q_pip_join_cells,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1290,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "event_window": SQL_EVENT_WINDOW,
+        "extract_text": SQL_EXTRACT_TEXT,
         "knn_grid": SQL_KNN,
         "pip_join_cells": _sql_pip_join(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

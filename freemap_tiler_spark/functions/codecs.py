@@ -166,21 +166,33 @@ def qdct_decode(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode_tile(img: np.ndarray, fmt: str = "png", quality: int = 85) -> tuple[bytes, bytes | None]:
-    """(tile_data, tile_alpha_or_None).  'jpeg' splits RGB/alpha like the
-    reference (src/processor.rs:498-513): color planes -> QDCT, alpha ->
-    sidecar; 'png' keeps alpha in-band."""
+    """(tile_data, tile_alpha_or_None).  'jpeg' splits color/alpha like the
+    reference (src/processor.rs:498-513): color planes -> REAL baseline
+    JPEG (functions/jpeg.py, from-scratch T.81), alpha -> sidecar; 'qdct'
+    keeps the legacy deterministic stand-in; 'png' keeps alpha in-band."""
     if fmt == "png":
         return png_encode(img), None
     color, alpha = img[:, :, :-1], img[:, :, -1]
-    return qdct_encode(color, quality), alpha_encode(alpha)
+    if fmt == "qdct":
+        return qdct_encode(color, quality), alpha_encode(alpha)
+    from freemap_tiler_spark.functions import jpeg
+
+    return jpeg.encode(color, quality), alpha_encode(alpha)
 
 
 def decode_tile(data: bytes, alpha: bytes | None, fmt: str = "png") -> np.ndarray:
-    """Inverse of encode_tile; 'jpeg' re-interleaves color + alpha
+    """Inverse of encode_tile; 'jpeg'/'qdct' re-interleave color + alpha
     (resume path, src/processor.rs:211-216)."""
     if fmt == "png":
         return png_decode(data)
-    color = qdct_decode(data)
+    if data[:4] == QDCT_MAGIC:
+        color = qdct_decode(data)
+    else:
+        from freemap_tiler_spark.functions import jpeg
+
+        color = jpeg.decode(data)
+        if color.ndim == 2:
+            color = color[:, :, None]
     h, w, _ = color.shape
     a = alpha_decode(alpha, h * w).reshape(h, w, 1)
     return np.concatenate([color, a], axis=2)

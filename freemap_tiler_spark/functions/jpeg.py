@@ -1,0 +1,430 @@
+"""Baseline JPEG codec, pure numpy/python (ITU-T T.81, JFIF).
+
+The reference encodes tiles as JPEG q85 with the alpha band in a zstd
+sidecar (src/processor.rs:493-563).  No libjpeg/Pillow in this container,
+so this is a from-scratch baseline implementation: 8-bit, non-progressive,
+grayscale or YCbCr 4:4:4 (no subsampling), standard Annex-K quantization
+and Huffman tables, libjpeg quality scaling.  DCT is vectorized over all
+8x8 blocks at once (two einsum contractions); only the entropy coding is a
+per-block python loop (runs inside Arrow-batched UDFs only).
+
+Interchange-compatible: any standard decoder reads these bytes; `decode`
+reads any baseline non-subsampled JPEG (and 2x1/2x2-subsampled ones are
+rejected explicitly, not corrupted).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 quantization tables (luminance, chrominance), natural order
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _huff_codes(bits, values):
+    """T.81 C.2: (value -> (code, length)) from the bits/values spec."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC_L, _ENC_DC_C = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+_ENC_AC_L, _ENC_AC_C = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, extra-bits value) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    extra = v if v > 0 else v + (1 << cat) - 1
+    return cat, extra
+
+
+def _encode_component(
+    bw: _BitWriter, blocks: np.ndarray, dc_tab: dict, ac_tab: dict, pred: int
+) -> int:
+    """blocks: (N, 64) int32 quantized zigzag coefficients."""
+    for blk in blocks:
+        dc = int(blk[0])
+        cat, extra = _magnitude(dc - pred)
+        code, length = dc_tab[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(extra, cat)
+        pred = dc
+        run = 0
+        last_nz = int(np.nonzero(blk[1:])[0][-1]) + 1 if (blk[1:] != 0).any() else 0
+        for i in range(1, last_nz + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tab[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            cat, extra = _magnitude(v)
+            code, length = ac_tab[(run << 4) | cat]
+            bw.write(code, length)
+            bw.write(extra, cat)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_tab[0x00]  # EOB
+            bw.write(code, length)
+    return pred
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (N, 8, 8), H/W padded to multiples of 8 by edge replicate."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return (
+        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _fdct_quant(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) u8 -> (N, 64) int32 quantized zigzag coefficients."""
+    f = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ij,njk,lk->nil", _DCT, f, _DCT, optimize=True)
+    q = np.rint(coef.reshape(-1, 64) / qtab.astype(np.float64)).astype(np.int32)
+    return q[:, _ZIGZAG]
+
+
+def _dht(tc_th: int, spec) -> bytes:
+    bits, values = spec
+    body = bytes([tc_th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode(img: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB u8 -> baseline JFIF bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(ql[_ZIGZAG].astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc[_ZIGZAG].astype(np.uint8))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])  # 4:4:4
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht(0x00, _DC_L) + _dht(0x10, _AC_L)
+    if not gray:
+        out += _dht(0x01, _DC_C) + _dht(0x11, _AC_C)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    bw = _BitWriter()
+    if gray:
+        q = _fdct_quant(_blockify(img), ql)
+        _encode_component(bw, q, _ENC_DC_L, _ENC_AC_L, 0)
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+        qs = [
+            _fdct_quant(_blockify(p), ql if i == 0 else qc)
+            for i, p in enumerate(planes)
+        ]
+        # 4:4:4 interleaved MCU = one block per component
+        tabs = [(_ENC_DC_L, _ENC_AC_L), (_ENC_DC_C, _ENC_AC_C), (_ENC_DC_C, _ENC_AC_C)]
+        preds = [0, 0, 0]
+        for m in range(qs[0].shape[0]):
+            for c in range(3):
+                preds[c] = _encode_component(
+                    bw, qs[c][m:m + 1], tabs[c][0], tabs[c][1], preds[c]
+                )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    b = 0  # marker: feed zeros (we stop at EOB anyway)
+                    self.pos -= 1
+                    self.acc = (self.acc << 8)
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        if self.n < k:
+            self.acc <<= (k - self.n)
+            self.n = k
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+
+def _dec_table(bits, values):
+    """(length -> {code: value}) decoding map."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        lv = {}
+        for _ in range(bits[length - 1]):
+            lv[code] = values[k]
+            code += 1
+            k += 1
+        table[length] = lv
+        code <<= 1
+    return table
+
+
+def _read_huff(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        lv = table.get(length)
+        if lv is not None and code in lv:
+            return lv[code]
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Baseline non-subsampled JFIF bytes -> (H, W) or (H, W, 3) u8."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG"
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[int, dict] = {}
+    comps = []
+    h = w = 0
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq_tq = body[i]
+                assert pq_tq >> 4 == 0, "8-bit tables only"
+                tab = np.frombuffer(body[i + 1:i + 65], np.uint8).astype(np.int32)
+                nat = np.zeros(64, np.int32)
+                nat[_ZIGZAG] = tab
+                qtabs[pq_tq & 15] = nat
+                i += 65
+        elif marker == 0xC0:
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (baseline 4:4:4 only)")
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(body[i + 17:i + 17 + nv])
+                htabs[tc_th] = _dec_table(bits, values)
+                i += 17 + nv
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["dc"] = htabs[tabs >> 4]
+                comp["ac"] = htabs[0x10 | (tabs & 15)]
+                scan.append(comp)
+            br = _BitReader(data[pos + seglen:])
+            bh, bw_ = -(-h // 8), -(-w // 8)
+            planes = [np.zeros((bh * 8, bw_ * 8), np.float64) for _ in scan]
+            preds = [0] * len(scan)
+            for by in range(bh):
+                for bx in range(bw_):
+                    for ci, comp in enumerate(scan):
+                        blk = np.zeros(64, np.int32)
+                        cat = _read_huff(br, comp["dc"])
+                        diff = _extend(br.bits(cat), cat) if cat else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        i = 1
+                        while i < 64:
+                            rs = _read_huff(br, comp["ac"])
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            cat = rs & 15
+                            if i > 63:
+                                break
+                            blk[i] = _extend(br.bits(cat), cat)
+                            i += 1
+                        nat = np.zeros(64, np.int32)
+                        nat[_ZIGZAG] = blk
+                        deq = nat.reshape(8, 8) * qtabs[comp["tq"]].reshape(8, 8)
+                        pix = np.einsum("ji,jk,kl->il", _DCT, deq.astype(np.float64), _DCT,
+                                        optimize=True) + 128.0
+                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+            planes = [p[:h, :w] for p in planes]
+            if len(planes) == 1:
+                return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+        pos += seglen
+    raise ValueError("no scan found")

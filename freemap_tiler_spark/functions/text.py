@@ -26,6 +26,19 @@ def _c(v) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# HTML text extraction (the input_hint's extract stage; JVM-side regexp)
+# ---------------------------------------------------------------------------
+
+def extract_text(html) -> Column:
+    """Extracted text from an ``html`` binary column: decode utf-8, strip
+    tags.  The graft's per-row invariant vs the reference is BYTE-IDENTICAL
+    extracted text per url — asserted by the ``extract_text`` contract
+    query (extract_text(html) == text for every corpus row).  Whole-stage
+    codegen regexp; no Python."""
+    return F.regexp_replace(_c(html).cast("string"), "<[^>]+>", "")
+
+
+# ---------------------------------------------------------------------------
 # Geotag extraction (JVM-side regexp — no UDF needed)
 # ---------------------------------------------------------------------------
 

@@ -25,14 +25,22 @@ from freemap_tiler_spark.functions.mercator import ORIGIN
 
 
 def block_pixels(bx: int, by: int, width: int, height: int, bands: int) -> np.ndarray:
-    """(H, W, bands) u8 for block (bx, by) under the closed-form law."""
+    """(H, W, bands) u8 for block (bx, by) under the closed-form law.
+
+    uint8 arithmetic throughout: (x*3 + y*5 + k*17) % 256 distributes over
+    uint8 wraparound, so the whole block is three small mod-256 vectors
+    broadcast-added — the int64 form moved ~80x the bytes and made the
+    synthetic SOURCE the bottleneck of the measured warp stage."""
     gx = np.arange(bx * width, (bx + 1) * width, dtype=np.int64)
     gy = np.arange(by * height, (by + 1) * height, dtype=np.int64)
-    k = np.arange(bands, dtype=np.int64)
-    arr = (gx[None, :, None] * 3 + gy[:, None, None] * 5 + k[None, None, :] * 17) % 256
-    arr = arr.astype(np.uint8)
+    vx = ((gx * 3) % 256).astype(np.uint8)[None, :, None]
+    vy = ((gy * 5) % 256).astype(np.uint8)[:, None, None]
+    vk = ((np.arange(bands, dtype=np.int64) * 17) % 256).astype(np.uint8)
+    arr = vx + vy + vk  # uint8 adds wrap mod 256
     # alpha band: opaque except checkerboard holes of 8x8 px
-    hole = (((gx[None, :] // 8) + (gy[:, None] // 8)) % 7 == 0)
+    hx = ((gx // 8) % 7).astype(np.uint8)[None, :]
+    hy = ((gy // 8) % 7).astype(np.uint8)[:, None]
+    hole = (hx + hy) % 7 == 0
     arr[:, :, -1] = np.where(hole, 0, 255)
     return arr
 

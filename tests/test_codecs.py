@@ -41,11 +41,12 @@ def test_qdct_pixel_close():
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
 
 
-def test_tile_encode_jpeg_path():
-    """RGB/alpha split + re-interleave (src/processor.rs:498-513,211-216)."""
+def test_tile_encode_qdct_path():
+    """RGB/alpha split + re-interleave (src/processor.rs:498-513,211-216)
+    through the deterministic QDCT stand-in (tight per-pixel bound)."""
     img = rng.randint(0, 256, (16, 16, 4)).astype(np.uint8)
-    data, alpha = codecs.encode_tile(img, "jpeg", 85)
-    dec = codecs.decode_tile(data, alpha, "jpeg")
+    data, alpha = codecs.encode_tile(img, "qdct", 85)
+    dec = codecs.decode_tile(data, alpha, "qdct")
     assert (dec[:, :, 3] == img[:, :, 3]).all()
     assert np.abs(dec[:, :, :3].astype(int) - img[:, :, :3].astype(int)).max() <= 3
 
@@ -55,3 +56,29 @@ def test_tile_encode_png_path():
     data, alpha = codecs.encode_tile(img, "png")
     assert alpha is None
     assert (codecs.decode_tile(data, None, "png") == img).all()
+
+
+def test_real_jpeg_structure_and_quality():
+    """fmt='jpeg' now emits REAL baseline JFIF bytes (SOI/APP0-JFIF/SOF0)
+    that any standard decoder reads, and decodes pixel-close."""
+    import numpy as np
+
+    from freemap_tiler_spark.functions import jpeg
+
+    x = np.linspace(0, 255, 32)
+    grad = np.clip(np.rint(np.add.outer(x, x) / 2), 0, 255).astype(np.uint8)
+    rgba = np.stack([grad, grad[::-1], grad.T, np.full_like(grad, 255)], axis=2)
+    data, alpha = codecs.encode_tile(rgba, "jpeg", 85)
+    assert data[:2] == b"\xff\xd8" and data[6:10] == b"JFIF"
+    assert alpha is None  # fully opaque -> sidecar elided
+    dec = codecs.decode_tile(data, alpha, "jpeg")
+    err = np.abs(dec[:, :, :3].astype(int) - rgba[:, :, :3].astype(int))
+    assert err.mean() < 2.0 and err.max() <= 12
+    assert (dec[:, :, 3] == 255).all()
+    # gray+alpha (the pyramid's native bands)
+    ga = np.stack([grad, (grad > 64).astype(np.uint8) * 255], axis=2)
+    data, alpha = codecs.encode_tile(ga, "jpeg", 85)
+    assert data[:2] == b"\xff\xd8" and alpha is not None
+    dec = codecs.decode_tile(data, alpha, "jpeg")
+    assert (dec[:, :, 1] == ga[:, :, 1]).all()  # alpha sidecar lossless
+    assert np.abs(dec[:, :, 0].astype(int) - grad.astype(int)).mean() < 2.0

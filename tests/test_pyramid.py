@@ -90,3 +90,14 @@ def test_text_byte_identity(spark):
 def test_empty_input(spark, points):
     empty = points.where(F.lit(False))
     assert pyramid.build_pyramid(empty, max_zoom=4, tile_size=32).count() == 0
+
+
+def test_clamp_levels_per_shuffle_pixel_budget():
+    """SURVEY §7(5): one compose group holds a 4^k subtree in memory —
+    k is clamped so 4^k * tile_size^2 * bands <= 64 MB."""
+    from freemap_tiler_spark.operators.pyramid import clamp_levels_per_shuffle
+
+    assert clamp_levels_per_shuffle(5, 256, 4) == 4   # 4^5 would be 268 MB
+    assert clamp_levels_per_shuffle(5, 64, 2) == 5    # small tiles: unclamped
+    assert clamp_levels_per_shuffle(3, 1024, 4) == 2  # 1024px RGBA: k=2 is 67MB
+    assert clamp_levels_per_shuffle(8, 4096, 4) == 1  # never below 1
