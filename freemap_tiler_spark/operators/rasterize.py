@@ -11,8 +11,6 @@
   (child-cell points with values) or fold them to per-tile stats — the
   inverse of the megatile slice (src/processor.rs:453-490).
 
-Also the raster-blocks -> leaf-tiles warp path (F11): identity-CRS resample
-of the synthetic raster-blocks table into the tile grid.
 """
 
 from __future__ import annotations
@@ -114,80 +112,3 @@ def raster_stats(tiles: DataFrame, tile_size: int = 256, bands: int = 2) -> Data
             yield pd.DataFrame(rows, columns=["cell", "coverage", "value_sum", "value_max"])
 
     return tiles.mapInPandas(_stats, "cell long, coverage double, value_sum double, value_max double")
-
-
-def blocks_to_tiles(
-    blocks: DataFrame, zoom: int, tile_size: int = 256
-) -> DataFrame:
-    """Raster-blocks table -> (cell, payload) leaf tiles at ``zoom``
-    (the warp stage F11, identity-CRS EPSG:3857 fast path =
-    pure resample, src/warp.rs:78-89 SRS-pair branch).
-
-    Each block computes which tiles it covers from its geo_transform and
-    emits resampled sub-tiles; tiles straddling block borders are composed
-    by a max-merge groupBy (exactly-once per source pixel, so max == the
-    mosaic union of disjoint pieces)."""
-    from freemap_tiler_spark.functions.resample import resize_bilinear
-
-    t = tile_size
-    world = mercator.WORLD
-    origin = mercator.ORIGIN
-
-    def _warp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_c, out_p = [], []
-            for row in pdf.itertuples(index=False):
-                gt = np.asarray(row.geo_transform, float)
-                w, h, nb = int(row.width), int(row.height), int(row.bands)
-                img = np.frombuffer(row.data, np.uint8).reshape(h, w, nb)
-                # block bbox in 3857
-                x0 = gt[0] + row.block_x * w * gt[1]
-                y0 = gt[3] + row.block_y * h * gt[5]
-                x1 = x0 + w * gt[1]
-                y1 = y0 + h * gt[5]  # gt[5] < 0: y1 < y0
-                span = world / (1 << zoom)
-                tx0 = int((x0 + origin) // span)
-                tx1 = int((x1 + origin - 1e-9) // span)
-                ty0 = int((origin - y0) // span)
-                ty1 = int((origin - y1 - 1e-9) // span)
-                for ty in range(ty0, ty1 + 1):
-                    for tx in range(tx0, tx1 + 1):
-                        # tile bbox
-                        tbx0 = tx * span - origin
-                        tby0 = origin - (ty + 1) * span
-                        # source pixel window covered by this tile
-                        px0 = (max(tbx0, x0) - x0) / gt[1]
-                        px1 = (min(tbx0 + span, x1) - x0) / gt[1]
-                        py0 = (max(tby0 + span, y1) - y0) / gt[5]
-                        py1 = (min(tby0, y0) - y0) / gt[5]
-                        ix0, ix1 = int(np.floor(px0)), int(np.ceil(px1))
-                        iy0, iy1 = int(np.floor(py0)), int(np.ceil(py1))
-                        if ix1 <= ix0 or iy1 <= iy0:
-                            continue
-                        sub = img[iy0:iy1, ix0:ix1]
-                        # destination pixel window inside the tile
-                        dx0 = int(round((x0 + ix0 * gt[1] - tbx0) / span * t))
-                        dx1 = int(round((x0 + ix1 * gt[1] - tbx0) / span * t))
-                        dy0 = int(round((tby0 + span - (y0 + iy0 * gt[5])) / span * t))
-                        dy1 = int(round((tby0 + span - (y0 + iy1 * gt[5])) / span * t))
-                        dw, dh = max(dx1 - dx0, 1), max(dy1 - dy0, 1)
-                        res = resize_bilinear(sub, dh, dw)
-                        tile = np.zeros((t, t, nb), np.uint8)
-                        tile[dy0:dy0 + dh, dx0:dx0 + dw] = res[: t - dy0, : t - dx0]
-                        out_c.append(int(cells.np_cell(zoom, tx, ty)))
-                        out_p.append(tile.tobytes())
-            yield pd.DataFrame({"cell": out_c, "payload": out_p})
-
-    pieces = blocks.mapInPandas(_warp, "cell long, payload binary")
-
-    # merge straddling pieces: element-wise max of disjoint contributions
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for p in pdf["payload"]:
-            a = np.frombuffer(p, np.uint8)
-            acc = a if acc is None else np.maximum(acc, a)
-        return pd.DataFrame({"cell": [pdf["cell"].iloc[0]], "payload": [acc.tobytes()]})
-
-    return pieces.groupBy("cell").applyInPandas(
-        lambda _k, pdf: _merge(pdf), "cell long, payload binary"
-    )

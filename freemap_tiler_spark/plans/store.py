@@ -33,12 +33,17 @@ def write_tiles(
     quality: int = 85,
     tile_size: int = 256,
     bands: int = 2,
-    files_per_zoom_hint: int = 32,
+    files_per_zoom_hint: int | None = None,
 ) -> str:
     """(cell, payload) levels -> encoded tiles table at {root}/store.
 
     Encoding (F13-F17) happens in the same pass as the write — one shuffle
     to cluster by (zoom, morton) so files hold z-order-adjacent tiles (X3).
+
+    Range-partition count defaults to 4x parallelism (not a fixed 32):
+    cell ids sort by zoom prefix, so range partitioning naturally gives
+    deep zooms many files and shallow zooms few — the file count scales
+    with cluster size instead of capping write parallelism.
     """
     enc = P.encode_level(levels, fmt, quality, tile_size, bands)
     keyed = enc.select(
@@ -50,7 +55,8 @@ def write_tiles(
         F.col("cell"),
     )
     out = os.path.join(root, "store")
-    keyed.repartitionByRange(files_per_zoom_hint, "cell").drop("cell").write.mode(
+    n = files_per_zoom_hint or max(32, spark.sparkContext.defaultParallelism * 4)
+    keyed.repartitionByRange(n, "cell").drop("cell").write.mode(
         "overwrite"
     ).partitionBy("zoom").parquet(out)
     return out

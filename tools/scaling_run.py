@@ -159,14 +159,22 @@ def main() -> None:
     max_steal = float(os.environ.get("SCALING_MAX_STEAL", "3.0"))
 
     def best(cpus: int) -> dict:
-        # the sandbox host has episodic CPU steal from neighbors; a stolen
-        # run under-reports throughput — retry until a clean run (steal
-        # below threshold) or attempts exhausted, then take the fastest
+        # the sandbox host has episodic contention from neighbors that
+        # guest-visible steal% does NOT capture (whole runs go 2x slower
+        # with steal < 1%).  Each worker measures a single-core numpy
+        # calibration (calib_ms) before Spark starts — a contended run
+        # shows an inflated calibration.  Keep runs whose calibration is
+        # within 15% of the best observed, then take the fastest.
         runs = []
         for _ in range(trials + 2):
             r = run(rows, cpus, tile, maxz, tile_px)
             runs.append(r)
-            clean = [x for x in runs if x.get("steal_pct", 99) <= max_steal]
+            cal0 = min(x.get("calib_ms", 1e9) for x in runs)
+            clean = [
+                x for x in runs
+                if x.get("steal_pct", 99) <= max_steal
+                and x.get("calib_ms", 1e9) <= cal0 * 1.15
+            ]
             if len(clean) >= trials:
                 return max(clean, key=lambda x: x["tiles_per_sec"])
         return max(runs, key=lambda x: x["tiles_per_sec"])
