@@ -1086,6 +1086,252 @@ def q_rasterize_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def q_mask_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 no-data masking: per-block zeroed-pixel count + surviving band-0
+    sum after masking nodata=[0,_,_,_]; the oracle restates the block pixel
+    law (x*3 + y*5 + k*17) % 256 in SQL."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from freemap_tiler_spark.operators import raster_ops
+    from freemap_tiler_spark.sources.raster_blocks import raster_blocks
+
+    blocks = raster_blocks(spark, grid=2, width=64, height=64, bands=4).withColumn(
+        "nodata",
+        F.array(F.lit(0), F.lit(None).cast("int"), F.lit(None).cast("int"),
+                F.lit(None).cast("int")),
+    )
+    masked = raster_ops.mask_nodata(blocks)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = np.frombuffer(r.data, np.uint8).reshape(-1, 4)
+                rows.append((int(r.block_x), int(r.block_y),
+                             int((img[:, 0] == 0).sum()), int(img[:, 0].sum())))
+            yield pd.DataFrame(rows, columns=["bx", "by", "zero_px", "band0_sum"])
+
+    return masked.mapInPandas(
+        _stats, "bx long, by long, zero_px long, band0_sum long"
+    ).orderBy("bx", "by")
+
+
+SQL_MASK_NODATA = """
+WITH px AS (
+  SELECT x.x // 64 AS bx, y.y // 64 AS by,
+         (x.x * 3 + y.y * 5) % 256 AS v0
+  FROM UNNEST(generate_series(0, 127)) AS x(x),
+       UNNEST(generate_series(0, 127)) AS y(y))
+SELECT bx, by,
+       CAST(SUM(CASE WHEN v0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_px,
+       CAST(SUM(v0) AS BIGINT) AS band0_sum
+FROM px GROUP BY bx, by ORDER BY bx, by
+"""
+
+
+def q_empty_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/X8 known-empty markers: pad the source bbox by one z9 tile on
+    every side — the ring of covered-but-empty tiles becomes the marker
+    set; oracle = padded-cover minus cover, pure arithmetic."""
+    from freemap_tiler_spark.operators import raster_ops
+    from freemap_tiler_spark.sources.raster_blocks import raster_blocks, source_bbox
+
+    blocks = raster_blocks(spark, grid=2, width=64, height=64, bands=4)
+    tiles = raster_ops.warp_blocks_to_tiles(blocks, 9, 32)
+    x0, y0, x1, y1 = source_bbox(blocks)
+    span = mercator.WORLD / (1 << 9)
+    cover = raster_ops.tile_cover(
+        spark, (x0 - span, y0 - span, x1 + span, y1 + span), 9
+    )
+    markers = raster_ops.empty_markers(cover, tiles)
+    return markers.select(
+        cells.cell_x("cell").alias("x"), cells.cell_y("cell").alias("y"),
+        F.length("payload").alias("payload_bytes"),
+    ).orderBy("x", "y")
+
+
+def _sql_empty_markers() -> str:
+    return f"""
+WITH {_sql_warp_cover_cte(9)},
+padded AS (
+  SELECT xs.x, ys.y FROM c,
+    UNNEST(generate_series(
+      CAST(FLOOR(({_BLOCKS_X0} - span + origin) / span) AS BIGINT),
+      CAST(FLOOR(({_BLOCKS_X0 + _BLOCKS_NPX * _BLOCKS_PX} + span + origin - 1e-9) / span) AS BIGINT))) AS xs(x),
+    UNNEST(generate_series(
+      CAST(FLOOR((origin - {_BLOCKS_YTOP} - span) / span) AS BIGINT),
+      CAST(FLOOR((origin - {_BLOCKS_YTOP - _BLOCKS_NPX * _BLOCKS_PX} + span - 1e-9) / span) AS BIGINT))) AS ys(y))
+SELECT x, y, 0::INT AS payload_bytes FROM padded
+EXCEPT SELECT x, y, 0::INT FROM cover
+ORDER BY x, y
+"""
+
+
+def q_polygon_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/P2 bounding-polygon tile prune: z8 cover of the quad's bbox,
+    kept iff any of 5 probe points (center + corners, lon/lat space) is
+    inside the quad OR a quad vertex falls in the tile bbox — the exact
+    rule of pipeline._prune_cover_by_polygon, restated in SQL by the
+    oracle (half-planes + box tests)."""
+    import numpy as np
+
+    from freemap_tiler_spark.operators import raster_ops
+    from freemap_tiler_spark.pipeline import _prune_cover_by_polygon
+
+    rings = [(np.asarray(QUAD_X, float), np.asarray(QUAD_Y, float))]
+    mx0, my0 = mercator.np_lonlat_to_merc(min(QUAD_X), min(QUAD_Y))
+    mx1, my1 = mercator.np_lonlat_to_merc(max(QUAD_X), max(QUAD_Y))
+    cover = raster_ops.tile_cover(spark, (float(mx0), float(my0), float(mx1), float(my1)), 8)
+    kept = _prune_cover_by_polygon(cover, rings)
+    return kept.select("x", "y").orderBy("x", "y")
+
+
+def _sql_polygon_prune() -> str:
+    tx0 = mercator.TILE_X_SQL.format(lon=min(QUAD_X), z=8)
+    tx1 = mercator.TILE_X_SQL.format(lon=max(QUAD_X), z=8)
+    ty0 = mercator.TILE_Y_SQL.format(lat=max(QUAD_Y), z=8)
+    ty1 = mercator.TILE_Y_SQL.format(lat=min(QUAD_Y), z=8)
+    conds = []
+    n = len(QUAD_X)
+    for i in range(n):
+        x1, y1 = QUAD_X[i], QUAD_Y[i]
+        x2, y2 = QUAD_X[(i + 1) % n], QUAD_Y[(i + 1) % n]
+        conds.append(
+            f"(({x2} - {x1}) * (py - {y1}) - ({y2} - {y1}) * (px - {x1})) > 0"
+        )
+    inside = " AND ".join(conds)
+    # tile lon/lat bbox; lat via the inverse-mercator sinh identity
+    lat_of = "degrees(atan((exp(pi() * (1.0 - {yy} / 128.0)) - exp(-pi() * (1.0 - {yy} / 128.0))) / 2.0))"
+    vert_in = " OR ".join(
+        f"({vx} >= lon0 AND {vx} <= lon1 AND {vy} >= lat0 AND {vy} <= lat1)"
+        for vx, vy in zip(QUAD_X, QUAD_Y)
+    )
+    return f"""
+WITH b AS (SELECT {tx0} AS tx0, {tx1} AS tx1, {ty0} AS ty0, {ty1} AS ty1),
+tiles AS (SELECT xs.x, ys.y FROM b,
+          UNNEST(generate_series(tx0, tx1)) AS xs(x),
+          UNNEST(generate_series(ty0, ty1)) AS ys(y)),
+boxed AS (SELECT x, y,
+                 x / 256.0 * 360.0 - 180.0 AS lon0,
+                 (x + 1) / 256.0 * 360.0 - 180.0 AS lon1,
+                 {lat_of.format(yy="(y + 1)")} AS lat0,
+                 {lat_of.format(yy="y")} AS lat1
+          FROM tiles),
+probes AS (
+  SELECT x, y, lon0 + (lon1 - lon0) * fx AS px, lat0 + (lat1 - lat0) * fy AS py,
+         lon0, lon1, lat0, lat1
+  FROM boxed, (VALUES (0.5, 0.5), (0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)) AS f(fx, fy)),
+kept AS (
+  SELECT DISTINCT x, y FROM probes WHERE {inside}
+  UNION
+  SELECT DISTINCT x, y FROM boxed WHERE {vert_in})
+SELECT x, y FROM kept ORDER BY x, y
+"""
+
+
+def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 tile bounds: EPSG:3857 (min_x, min_y, max_x, max_y) of the z5
+    tiles touched by the corpus — pure Column math vs the same closed form
+    in SQL (bit-identical doubles: one multiply + one subtract each)."""
+    g = _docs_geo(spark, sf_dir)
+    z = 5
+    span = mercator.WORLD / (1 << z)
+    half = mercator.ORIGIN
+    t = g.select(
+        mercator.tile_x(F.col("lon"), F.lit(z)).alias("x"),
+        mercator.tile_y(F.col("lat"), F.lit(z)).alias("y"),
+    ).distinct()
+    # integer millimetres: DuckDB contracts a*b-c into an FMA, so raw
+    # doubles diverge from the JVM in the last 2 bits — ROUND(v*1000)
+    # pins both engines to the same integer (mm precision).
+    def mm(col):
+        return F.round(col * 1000.0).cast("bigint")
+
+    return t.select(
+        "x", "y",
+        mm(F.col("x").cast("double") * F.lit(span) - F.lit(half)).alias("min_x_mm"),
+        mm(F.lit(half) - (F.col("y").cast("double") + 1.0) * F.lit(span)).alias("min_y_mm"),
+        mm((F.col("x").cast("double") + 1.0) * F.lit(span) - F.lit(half)).alias("max_x_mm"),
+        mm(F.lit(half) - F.col("y").cast("double") * F.lit(span)).alias("max_y_mm"),
+    ).orderBy("x", "y")
+
+
+def _sql_tile_bounds() -> str:
+    tx, ty = _tile_sql(5)
+    span = repr(mercator.WORLD / 32)
+    half = repr(mercator.ORIGIN)
+    return f"""
+WITH t AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM documents)
+SELECT x, y,
+       CAST(ROUND((CAST(x AS DOUBLE) * {span} - {half}) * 1000.0) AS BIGINT) AS min_x_mm,
+       CAST(ROUND(({half} - (CAST(y AS DOUBLE) + 1.0) * {span}) * 1000.0) AS BIGINT) AS min_y_mm,
+       CAST(ROUND(((CAST(x AS DOUBLE) + 1.0) * {span} - {half}) * 1000.0) AS BIGINT) AS max_x_mm,
+       CAST(ROUND(({half} - CAST(y AS DOUBLE) * {span}) * 1000.0) AS BIGINT) AS max_y_mm
+FROM t ORDER BY x, y
+"""
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming: the event-time windowed per-cell rollup run as a
+    REAL Structured Streaming query (readStream -> watermark -> window ->
+    complete-mode memory sink, availableNow trigger) over a deterministic
+    corpus drop; the oracle recomputes windows + cells from the corpus law
+    in SQL.  Window starts emitted as epoch seconds (integer-exact)."""
+    import os
+    import shutil
+    import tempfile
+
+    from freemap_tiler_spark.sources.corpus import geotagged_corpus
+    from freemap_tiler_spark.streaming import ingest as SI
+
+    drop = os.path.join(tempfile.gettempdir(), "contract_stream_drop")
+    shutil.rmtree(drop, ignore_errors=True)
+    geotagged_corpus(spark, 2000).coalesce(1).write.parquet(drop)
+    ck = tempfile.mkdtemp(prefix="contract_stream_ck_")
+    q = (
+        SI.streaming_tile_counts(SI.stream_corpus(spark, drop), zoom=8,
+                                 window="10 minutes")
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("contract_stream_rollup")
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("contract_stream_rollup")
+        .select(F.col("win_start").cast("long").alias("win_epoch"), "cell", "docs")
+        .orderBy("win_epoch", "cell")
+    )
+
+
+def _sql_stream_rollup() -> str:
+    """Corpus law (sources/corpus.py) + 10-minute windows in SQL."""
+    lon = ("CASE WHEN i % 10 < 3 THEN ([17.11, 21.26, 18.74])[CAST(i % 3 AS INT) + 1]"
+           " + ((i * 2654435761) % 1000003 / 1000003.0 - 0.5) * 0.05"
+           " ELSE 16.8 + (i * 2654435761) % 1000003 / 1000003.0 * 5.8 END")
+    lat = ("CASE WHEN i % 10 < 3 THEN ([48.15, 48.72, 49.21])[CAST(i % 3 AS INT) + 1]"
+           " + ((i * 2246822519) % 1000033 / 1000033.0 - 0.5) * 0.05"
+           " ELSE 47.7 + (i * 2246822519) % 1000033 / 1000033.0 * 1.9 END")
+    tx = mercator.TILE_X_SQL.format(lon="lon", z=8)
+    ty = mercator.TILE_Y_SQL.format(lat="lat", z=8)
+    morton = _morton_sql("tx", "ty")
+    return f"""
+WITH rows_ AS (SELECT i, {lon} AS lon, {lat} AS lat,
+                      CAST(epoch(TIMESTAMP '2025-01-01 00:00:00' + i * INTERVAL 1 SECOND) AS BIGINT) AS ts
+               FROM (SELECT UNNEST(RANGE(0, 2000)) AS i)
+               WHERE i % 5 != 4),
+keyed AS (SELECT (ts // 600) * 600 AS win_epoch, {tx} AS tx, {ty} AS ty FROM rows_),
+cells_ AS (SELECT win_epoch, ((8::BIGINT << 58) | {morton}) AS cell FROM keyed)
+SELECT win_epoch, cell, COUNT(*) AS docs
+FROM cells_ GROUP BY win_epoch, cell ORDER BY win_epoch, cell
+"""
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint's extraction invariant: extract_text(html) must be
     BYTE-IDENTICAL to the stored text for every url (the graft's per-row
@@ -1269,6 +1515,11 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "event_window": q_event_window,
     "extract_text": q_extract_text,
+    "stream_rollup": q_stream_rollup,
+    "mask_nodata": q_mask_nodata,
+    "empty_markers": q_empty_markers,
+    "polygon_prune": q_polygon_prune,
+    "tile_bounds": q_tile_bounds,
     "knn_grid": q_knn_grid,
     "pip_join_cells": q_pip_join_cells,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1314,6 +1565,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "event_window": SQL_EVENT_WINDOW,
         "extract_text": SQL_EXTRACT_TEXT,
+        "stream_rollup": _sql_stream_rollup(),
+        "mask_nodata": SQL_MASK_NODATA,
+        "empty_markers": _sql_empty_markers(),
+        "polygon_prune": _sql_polygon_prune(),
+        "tile_bounds": _sql_tile_bounds(),
         "knn_grid": SQL_KNN,
         "pip_join_cells": _sql_pip_join(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+CORPUS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
 HOT_CENTERS = [(17.11, 48.15), (21.26, 48.72), (18.74, 49.21)]
 BBOX = (16.8, 47.7, 22.6, 49.6)  # lon_min, lat_min, lon_max, lat_max
 LANGS = ["en", "de", "sk", "cs"]

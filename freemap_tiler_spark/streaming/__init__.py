@@ -9,13 +9,29 @@ what BASELINE.json's north_rule asks for ("resumable from checkpoint with
 per-partition lineage").
 
 For genuinely incremental ingest (new WARC drops appending to the corpus),
-the same pipeline runs incrementally without Structured Streaming: the
-resume anti-join (plans.lineage.resume_anti_join) computes only tiles whose
-inputs changed, and the per-level writes are idempotent.  A
-``readStream``-based wrapper would add watermark machinery the semantics
-don't need; see streaming.incremental for the micro-batch driver.
+two paths:
+
+- ``streaming.incremental``: deterministic micro-batch driver — the resume
+  anti-join computes only tiles whose inputs changed, per-level writes are
+  idempotent and lineage-committed;
+- ``streaming.ingest``: Structured Streaming — ``readStream`` over a drop
+  directory, event-time windowed per-cell rollups with a watermark, a
+  custom stateful first-seen dedup via ``applyInPandasWithState``, and a
+  ``foreachBatch`` pyramid maintainer that calls incremental_update.
 """
 
 from freemap_tiler_spark.streaming.incremental import incremental_update
+from freemap_tiler_spark.streaming.ingest import (
+    run_streaming_pyramid,
+    stream_corpus,
+    streaming_first_seen,
+    streaming_tile_counts,
+)
 
-__all__ = ["incremental_update"]
+__all__ = [
+    "incremental_update",
+    "run_streaming_pyramid",
+    "stream_corpus",
+    "streaming_first_seen",
+    "streaming_tile_counts",
+]

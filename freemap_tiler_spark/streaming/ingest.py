@@ -1,0 +1,157 @@
+"""Structured Streaming ingestion: corpus drops -> live tile counts,
+stateful dedup, and micro-batch pyramid maintenance.
+
+The reference is a one-shot CLI (no streaming; SURVEY §2.9) — this is the
+engine-side requirement: a 100 TB training-data pipeline ingests WARC drops
+continuously.  Three Spark-native shapes:
+
+- ``stream_corpus``        file-source ``readStream`` over a drop directory
+                           (same schema as sources.corpus / the input_hint);
+- ``streaming_tile_counts``event-time windowed per-cell document counts with
+                           a watermark (late data handled by Spark state);
+- ``streaming_first_seen`` custom stateful operator via
+                           ``applyInPandasWithState``: first-seen-wins exact
+                           dedup keyed on the text fingerprint;
+- ``run_streaming_pyramid````foreachBatch`` -> accumulate points + call
+                           streaming/incremental.incremental_update, so each
+                           micro-batch repairs only the dirty subtrees.
+
+All event-time logic uses ``warc_ts``; all geometry goes through the same
+Column math as the batch path (one code path for both).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import cells, mercator
+from freemap_tiler_spark.functions import text as T
+from freemap_tiler_spark.sources.corpus import CORPUS_SCHEMA
+
+def stream_corpus(spark: SparkSession, drop_dir: str, max_files: int = 8) -> DataFrame:
+    """readStream over a directory that receives corpus parquet drops."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(drop_dir)
+    )
+
+
+def streaming_tile_counts(
+    stream: DataFrame,
+    zoom: int = 10,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed per-cell document counts (the streaming rollup):
+    geotag extraction + cell assignment are the SAME Column expressions as
+    the batch path; the watermark bounds state for late drops."""
+    lon, lat = T.geo_lon("text"), T.geo_lat("text")
+    cell = cells.cell(
+        F.lit(zoom),
+        mercator.tile_x(lon, F.lit(zoom)),
+        mercator.tile_y(lat, F.lit(zoom)),
+    )
+    return (
+        stream.where(lon.isNotNull() & lat.isNotNull())
+        .withColumn("cell", cell)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "cell")
+        .agg(F.count("*").alias("docs"))
+        .select(F.col("win.start").alias("win_start"), "cell", "docs")
+    )
+
+
+def streaming_first_seen(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """First-seen-wins streaming exact dedup, keyed on the md5 fingerprint
+    of the text — a CUSTOM stateful operator via applyInPandasWithState
+    (state = one boolean per fingerprint; rows after the first are
+    dropped).  Emits (fingerprint, url, warc_ts) of first occurrences."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = (
+        stream.withColumn("fingerprint", T.md5_fingerprint(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy("fingerprint")
+    )
+
+    def _first(key, pdfs, state: GroupState):
+        if state.exists:
+            # fingerprint already emitted in an earlier batch: drain input
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame({"fingerprint": [], "url": [], "warc_ts": []})
+            return
+        first_row = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("warc_ts")
+            if len(pdf) and first_row is None:
+                first_row = pdf.iloc[0]
+        if first_row is None:
+            yield pd.DataFrame({"fingerprint": [], "url": [], "warc_ts": []})
+            return
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                "fingerprint": [key[0]],
+                "url": [first_row["url"]],
+                "warc_ts": [first_row["warc_ts"]],
+            }
+        )
+
+    return keyed.applyInPandasWithState(
+        _first,
+        outputStructType="fingerprint long, url string, warc_ts timestamp",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_pyramid(
+    spark: SparkSession,
+    drop_dir: str,
+    root: str,
+    max_zoom: int,
+    min_zoom: int = 0,
+    tile_size: int = 64,
+    checkpoint: str | None = None,
+) -> "StreamingQuery":
+    """foreachBatch micro-batch pyramid maintenance: every corpus drop
+    appends its points to {root}/points and repairs only the dirty
+    subtrees via incremental_update.  The first batch seeds the full
+    pyramid (lineage-committed, so a crash resumes)."""
+    from freemap_tiler_spark.operators import pyramid as P
+    from freemap_tiler_spark.plans import lineage as L
+    from freemap_tiler_spark.streaming.incremental import incremental_update
+
+    points_dir = os.path.join(root, "points")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.select(
+            T.geo_lon("text").alias("lon"), T.geo_lat("text").alias("lat")
+        ).dropna()
+        if pts.isEmpty():
+            return
+        pts.write.mode("append").parquet(points_dir)
+        all_pts = spark.read.parquet(points_dir)
+        if L.read_lineage(spark, root) is None:
+            # first drop: build + commit the full pyramid
+            leaves = P.rasterize_level(
+                P.assign_cells(all_pts, "lon", "lat", max_zoom), tile_size
+            )
+            L.write_pyramid(spark, leaves, root, max_zoom, min_zoom,
+                            tile_size, resume=False)
+        else:
+            incremental_update(spark, all_pts, pts, root, max_zoom,
+                               min_zoom, tile_size)
+
+    stream = stream_corpus(spark, drop_dir)
+    writer = stream.writeStream.foreachBatch(_batch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1,0 +1,120 @@
+"""Structured Streaming surface: windowed rollup, stateful dedup,
+foreachBatch pyramid maintenance (availableNow micro-batches)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.sources.corpus import geotagged_corpus
+from freemap_tiler_spark.streaming import ingest as SI
+
+pytestmark = pytest.mark.spark
+
+
+def _drop(spark, tmp_path, name, lo, hi):
+    d = str(tmp_path / "drops")
+    geotagged_corpus(spark, hi).where(
+        F.xxhash64("url").isNotNull() & (F.col("url") >= "")
+    ).limit(0)  # no-op keeps lints quiet
+    df = geotagged_corpus(spark, hi)
+    # slice rows [lo, hi) deterministically via the embedded row id
+    df = df.where(F.regexp_extract("text", r"p(\d+) ", 1).cast("long") >= lo)
+    df.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_streaming_tile_counts_match_batch(spark, tmp_path):
+    d = _drop(spark, tmp_path, "a", 0, 400)
+    # complete mode + memory sink: append would hold back windows the
+    # watermark has not passed (availableNow terminates before any later
+    # event time arrives to close them)
+    q = (
+        SI.streaming_tile_counts(SI.stream_corpus(spark, d), zoom=8)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("tile_counts")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("tile_counts").groupBy("cell").agg(F.sum("docs").alias("docs"))
+    # batch twin over the same files
+    from freemap_tiler_spark.functions import cells, mercator
+    from freemap_tiler_spark.functions import text as T
+
+    src = spark.read.parquet(d)
+    lon, lat = T.geo_lon("text"), T.geo_lat("text")
+    want = (
+        src.where(lon.isNotNull())
+        .select(
+            cells.cell(
+                F.lit(8), mercator.tile_x(lon, F.lit(8)), mercator.tile_y(lat, F.lit(8))
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .count()
+    )
+    g = {r["cell"]: r["docs"] for r in got.collect()}
+    w = {r["cell"]: r["count"] for r in want.collect()}
+    assert g == w
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    d = str(tmp_path / "drops2")
+    base = geotagged_corpus(spark, 50)
+    base.coalesce(1).write.mode("append").parquet(d)
+    # second drop: same 50 texts again under different urls (duplicates)
+    dup = base.withColumn("url", F.concat(F.lit("dup-"), "url")).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    dup.coalesce(1).write.mode("append").parquet(d)
+    q = (
+        SI.streaming_first_seen(SI.stream_corpus(spark, d, max_files=1))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", str(tmp_path / "seen"))
+        .start()
+    )
+    q.awaitTermination(180)
+    seen = spark.read.parquet(str(tmp_path / "seen"))
+    assert seen.count() == 50                     # one row per distinct text
+    assert seen.select("fingerprint").distinct().count() == 50
+
+
+def test_streaming_pyramid_matches_batch(spark, tmp_path):
+    from freemap_tiler_spark.operators import pyramid as P
+    from freemap_tiler_spark.plans import lineage as L
+    from freemap_tiler_spark.functions import text as T
+
+    d = str(tmp_path / "drops3")
+    geotagged_corpus(spark, 300).coalesce(1).write.mode("append").parquet(d)
+    root = str(tmp_path / "pyr")
+    q = SI.run_streaming_pyramid(
+        spark, d, root, max_zoom=6, min_zoom=0, tile_size=32,
+        checkpoint=str(tmp_path / "ck3"),
+    )
+    q.awaitTermination(180)
+    # second drop arrives; restart the availableNow query
+    extra = geotagged_corpus(spark, 400).where(
+        F.regexp_extract("text", r"p(\d+) ", 1).cast("long") >= 300
+    )
+    extra.coalesce(1).write.mode("append").parquet(d)
+    q = SI.run_streaming_pyramid(
+        spark, d, root, max_zoom=6, min_zoom=0, tile_size=32,
+        checkpoint=str(tmp_path / "ck3"),
+    )
+    q.awaitTermination(180)
+    got = {
+        r.cell: bytes(r.payload) for r in L.read_pyramid(spark, root).collect()
+    }
+    # batch twin over all 400 rows
+    pts = geotagged_corpus(spark, 400).select(
+        T.geo_lon("text").alias("lon"), T.geo_lat("text").alias("lat")
+    ).dropna()
+    want_df = P.build_pyramid(pts, max_zoom=6, min_zoom=0, tile_size=32)
+    want = {r.cell: bytes(r.payload) for r in want_df.collect()}
+    assert got == want

@@ -47,7 +47,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             ok = (sv.astype(str) == ov.astype(str)).all()
         if not ok:
             bad = (sv.astype(str) != ov.astype(str)) if sv.dtype.kind != "f" else ~np.isclose(sv.astype(float), ov.astype(float), rtol=0, atol=1e-9, equal_nan=True)
-            i = int(np.nonzero(bad.to_numpy())[0][0])
+            i = int(np.nonzero(np.asarray(bad))[0][0])
             problems.append(f"col {c} differs at sorted row {i}: spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r} ({int(bad.sum())} rows)")
     return problems
 
