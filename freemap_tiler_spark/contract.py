@@ -1274,6 +1274,75 @@ FROM t ORDER BY x, y
 """
 
 
+def q_source_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F8 geo-transform bbox scan: min/max over per-block corner
+    coordinates (one tiny agg), integer millimetres; the oracle is the
+    closed form from the generator constants."""
+    from freemap_tiler_spark.sources.raster_blocks import raster_blocks, source_bbox
+
+    blocks = raster_blocks(spark, grid=2, width=64, height=64, bands=4)
+    x0, y0, x1, y1 = source_bbox(blocks)
+    return spark.createDataFrame(
+        [(int(round(x0 * 1000)), int(round(y0 * 1000)),
+          int(round(x1 * 1000)), int(round(y1 * 1000)))],
+        "min_x_mm long, min_y_mm long, max_x_mm long, max_y_mm long",
+    )
+
+
+def _sql_source_bbox() -> str:
+    x1 = _BLOCKS_X0 + _BLOCKS_NPX * _BLOCKS_PX
+    ybot = _BLOCKS_YTOP - _BLOCKS_NPX * _BLOCKS_PX
+    return f"""
+SELECT CAST(ROUND({_BLOCKS_X0} * 1000) AS BIGINT) AS min_x_mm,
+       CAST(ROUND({ybot} * 1000) AS BIGINT) AS min_y_mm,
+       CAST(ROUND({x1} * 1000) AS BIGINT) AS max_x_mm,
+       CAST(ROUND({_BLOCKS_YTOP} * 1000) AS BIGINT) AS max_y_mm
+"""
+
+
+GEOJSON_FIXTURE = {
+    "type": "Polygon",
+    "coordinates": [
+        [[17.0, 48.0], [18.0, 48.0], [18.0, 49.0], [17.0, 49.0], [17.0, 48.0]],
+        [[17.2, 48.2], [17.4, 48.2], [17.4, 48.4], [17.2, 48.4], [17.2, 48.2]],
+    ],
+}
+
+
+def q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F19 GeoJSON source: parse the outer+hole fixture into the polygon
+    DataFrame; per-ring vertex count and coordinate sums in microdegrees
+    (integer-exact) vs a literal oracle."""
+    from freemap_tiler_spark.sources.geojson import parse_geojson_polygon, polygon_df
+
+    rings = parse_geojson_polygon(GEOJSON_FIXTURE)
+    df = polygon_df(spark, rings)
+    return df.select(
+        "ring_idx",
+        F.size("xs").alias("n_vertices"),
+        F.aggregate(
+            F.transform("xs", lambda v: F.round(v * 1_000_000).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ).alias("sum_x_udeg"),
+        F.aggregate(
+            F.transform("ys", lambda v: F.round(v * 1_000_000).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ).alias("sum_y_udeg"),
+    ).orderBy("ring_idx")
+
+
+def _sql_geojson_parse() -> str:
+    rows = []
+    for idx, ring in enumerate(GEOJSON_FIXTURE["coordinates"]):
+        sx = sum(int(round(p[0] * 1_000_000)) for p in ring)
+        sy = sum(int(round(p[1] * 1_000_000)) for p in ring)
+        rows.append(f"({idx}, {len(ring)}, {sx}::BIGINT, {sy}::BIGINT)")
+    return f"""
+SELECT * FROM (VALUES {', '.join(rows)})
+AS t(ring_idx, n_vertices, sum_x_udeg, sum_y_udeg) ORDER BY ring_idx
+"""
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 streaming: the event-time windowed per-cell rollup run as a
     REAL Structured Streaming query (readStream -> watermark -> window ->
@@ -1516,6 +1585,8 @@ QUERIES = {
     "event_window": q_event_window,
     "extract_text": q_extract_text,
     "stream_rollup": q_stream_rollup,
+    "source_bbox": q_source_bbox,
+    "geojson_parse": q_geojson_parse,
     "mask_nodata": q_mask_nodata,
     "empty_markers": q_empty_markers,
     "polygon_prune": q_polygon_prune,
@@ -1566,6 +1637,8 @@ def oracle_sql() -> dict[str, str]:
         "event_window": SQL_EVENT_WINDOW,
         "extract_text": SQL_EXTRACT_TEXT,
         "stream_rollup": _sql_stream_rollup(),
+        "source_bbox": _sql_source_bbox(),
+        "geojson_parse": _sql_geojson_parse(),
         "mask_nodata": SQL_MASK_NODATA,
         "empty_markers": _sql_empty_markers(),
         "polygon_prune": _sql_polygon_prune(),

@@ -87,6 +87,28 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # 7. production grid kNN: equi-join on the neighborhood cell, never a
+    # cartesian product (the brute twin is the only allowed crossJoin)
+    p = plan_of(contract.q_knn_grid(spark, sf))
+    check("knn_grid: cell equi-join, no cartesian", p, ["Join"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+    # 8. cell-prefix PIP join: equi-join, no cartesian
+    p = plan_of(contract.q_pip_join_cells(spark, sf))
+    check("pip_join_cells: cell equi-join, no cartesian", p, ["Join"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+    # 9. embedding near-dups: bucketed self-join stays an equi-join on
+    # (tbl, bkt) — the id inequality is a post-filter, not a join driver
+    p = plan_of(contract.q_embedding_near_dups(spark, sf))
+    check("embedding_near_dups: bucket equi-join, no cartesian", p, ["Join"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+    # 10. LSH dedup: band/bucket equi-join, no cartesian
+    p = plan_of(contract.q_minhash_lsh_dedup(spark, sf))
+    check("minhash_lsh_dedup: bucket equi-join, no cartesian", p, ["Join"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     report.append(f"\nFAILURES: {failures or 'none'}")
     out = "\n".join(report)
     with open("BENCH/explain_audit.md", "w") as f:
