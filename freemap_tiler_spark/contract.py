@@ -877,6 +877,21 @@ def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-SKEW x J-PIP: the cell-prefix join with EXPLICIT hot-cell salting
+    (salt=8) — result must be identical to the unsalted paths, so it shares
+    the half-plane oracle."""
+    polys = spark.createDataFrame(
+        [(1, 0, QUAD_X, QUAD_Y, "quad")], pip_join.POLYGON_SCHEMA
+    )
+    g = _docs_geo(spark, sf_dir)
+    return (
+        pip_join.pip_join_cells(g, polys, zoom=10, salt=8)
+        .select("doc_id", "poly_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (SRP-bucketed candidates + exact
     verify) vs an exact all-pairs DuckDB oracle.  Params give measured
@@ -1593,6 +1608,7 @@ QUERIES = {
     "tile_bounds": q_tile_bounds,
     "knn_grid": q_knn_grid,
     "pip_join_cells": q_pip_join_cells,
+    "pip_join_salted": q_pip_join_salted,
     "embedding_near_dups": q_embedding_near_dups,
     "raster_points": q_raster_points,
     "raster_stats": q_raster_stats,
@@ -1645,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_bounds": _sql_tile_bounds(),
         "knn_grid": SQL_KNN,
         "pip_join_cells": _sql_pip_join(),
+        "pip_join_salted": _sql_pip_join(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "raster_points": _sql_raster_points(),
         "raster_stats": _sql_raster_stats(),

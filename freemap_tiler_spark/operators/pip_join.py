@@ -182,6 +182,7 @@ def pip_join_cells(
     zoom: int = 10,
     x_col: str = "lon",
     y_col: str = "lat",
+    salt: int | None = None,
 ) -> DataFrame:
     """Cell-prefix repartition join for LARGE polygon layers.
 
@@ -189,6 +190,12 @@ def pip_join_cells(
     equi-join on cell ; exact ray-cast on the joined candidates.  The
     equi-join is a plain shuffle join Catalyst/AQE can optimize (skew split,
     broadcast if the exploded layer turns out small).
+
+    ``salt=s`` adds EXPLICIT hot-cell salting (the north-star's dense-urban
+    -tiles case): each point also carries a deterministic salt in [0, s),
+    the covering-cell side is replicated s times, and the join key becomes
+    (cell, salt) — one hot cell's candidates spread over s reducers even
+    without AQE.  Result identical by construction.
     """
     pts = points.withColumn(
         "cell",
@@ -199,6 +206,23 @@ def pip_join_cells(
         ),
     )
     cover = polygon_covering_cells(polygons, zoom)
+    if salt and salt > 1:
+        pts = pts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(x_col), F.col(y_col)), F.lit(salt)).cast("int"),
+        )
+        cover = cover.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        rings = polygons.orderBy("ring_idx").groupBy("poly_id").agg(
+            F.collect_list("xs").alias("all_xs"),
+            F.collect_list("ys").alias("all_ys"),
+            F.first("tag").alias("tag"),
+        )
+        cand = (
+            pts.join(cover, ["cell", "_salt"]).drop("cell", "_salt").join(rings, "poly_id")
+        )
+        return _pip_exact_raycast(cand, points, x_col, y_col)
     # rings aggregated to ONE row per polygon (outer + holes as array<array>)
     rings = polygons.orderBy("ring_idx").groupBy("poly_id").agg(
         F.collect_list("xs").alias("all_xs"),
@@ -206,6 +230,13 @@ def pip_join_cells(
         F.first("tag").alias("tag"),
     )
     cand = pts.join(cover, "cell").drop("cell").join(rings, "poly_id")
+    return _pip_exact_raycast(cand, points, x_col, y_col)
+
+
+def _pip_exact_raycast(
+    cand: DataFrame, points: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact even-odd verify over (point x candidate-polygon) rows."""
     out_cols = list(points.schema.fieldNames()) + ["poly_id", "tag"]
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in points.schema.fields]

@@ -286,3 +286,22 @@ def test_warp_utm_source(spark):
         for r in rows
     )
     assert abs(lit_total * ground ** 2 - 6400.0 ** 2) / 6400.0 ** 2 < 0.05
+
+
+def test_iceberg_sink_fallback(spark, tmp_path):
+    """No Iceberg runtime in this container: detection returns False and
+    the sink writes the identical zoom-partitioned parquet layout."""
+    from freemap_tiler_spark.sources import iceberg as IB
+
+    assert IB.iceberg_available(spark) is False
+    df = spark.createDataFrame(
+        [(9, 1, 2, b"x", None), (8, 0, 1, b"y", None)],
+        "zoom int, x long, tms_y long, tile_data binary, tile_alpha binary",
+    )
+    out = str(tmp_path / "tiles_tbl")
+    assert IB.write_tiles_table(spark, df, out) == out
+    back = IB.read_tiles_table(spark, out)
+    assert back.count() == 2
+    assert {r.zoom for r in back.select("zoom").collect()} == {8, 9}
+    # layout check: hive-style zoom= directories
+    assert (tmp_path / "tiles_tbl" / "zoom=9").exists()
