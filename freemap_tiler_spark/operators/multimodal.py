@@ -77,6 +77,50 @@ def decode_and_resize(
     return media.mapInPandas(_proc, "media_id long, frame binary, out_w int, out_h int")
 
 
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    decode: str = "stub",
+) -> DataFrame:
+    """Video frame sampling: one row per sampled frame at ``every_ms``
+    spacing (capped at ``max_frames``), (media_id, frame_idx, ts_ms,
+    frame binary).  The Spark plumbing — row explosion inside one Arrow
+    batch, typed schema, deterministic frame identity — is real; the
+    decoder is the same honest stub as decode_and_resize (``fake`` =
+    FNV-tiled payload bytes salted by frame index so frames differ)."""
+    if decode == "stub":
+        raise DecoderStub(
+            "no media codec installed in this container; use decode='fake'"
+        )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, kind, p, w, h, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"], pdf["duration_ms"],
+            ):
+                n = 1 if kind == "image" else max(
+                    1, min(int(dur) // every_ms + 1, max_frames)
+                )
+                for k in range(n):
+                    # salt the payload by frame index: deterministic,
+                    # frame-distinct fake decode
+                    img = _fake_decode(bytes([k & 0xFF]) + p, int(w), int(h))
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    frames.append(img.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(
+        _sample, "media_id long, frame_idx int, ts_ms int, frame binary"
+    )
+
+
 def frame_features(frames: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
     """Thumbnail -> feature vector (channel means/stds + 8x8 luma grid) —
     the feature-extraction stage, fully real numpy over the fake frames."""

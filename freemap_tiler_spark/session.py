@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # binary tile payloads: columnar-cache compression measured at 26%
+        # of persist cost and slower cached scans; payloads get PNG/JPEG
+        # compressed at the sink anyway.  Memory-tight clusters can flip
+        # this back via extra_conf.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -77,3 +77,28 @@ def test_lsh_hot_bucket_star_cap(spark):
     assert len(rows) == n - 1           # star: one pair per non-representative
     assert all(r.id_a == 0 for r in rows)
     assert {r.id_b for r in rows} == set(range(1, n))
+
+
+def test_sample_frames_plumbing(spark):
+    """Frame sampling: one row per image, duration-driven rows per video,
+    capped; frames are deterministic and frame-distinct."""
+    from freemap_tiler_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, 30)
+    frames = M.sample_frames(media, every_ms=10, max_frames=4, decode="fake")
+    pdf = frames.toPandas()
+    meta = media.select("media_id", "kind", "duration_ms").toPandas()
+    for _, r in meta.iterrows():
+        got = pdf[pdf.media_id == r.media_id]
+        if r.kind == "image":
+            assert len(got) == 1
+        else:
+            assert len(got) == max(1, min(int(r.duration_ms) // 10 + 1, 4))
+    # frame-distinct: idx 0 vs 1 of some video differ
+    vids = pdf.groupby("media_id").size()
+    mid = vids[vids > 1].index[0]
+    two = pdf[pdf.media_id == mid].sort_values("frame_idx").head(2)
+    assert two.iloc[0]["frame"] != two.iloc[1]["frame"]
+    import pytest as _pt
+    with _pt.raises(M.DecoderStub):
+        M.sample_frames(media, decode="stub")
