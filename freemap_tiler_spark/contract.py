@@ -1289,6 +1289,36 @@ FROM t ORDER BY x, y
 """
 
 
+def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 incremental maintenance: build the z8 pyramid from the first
+    400 docs, then incremental_update with the remaining docs — the
+    repaired leaf level must satisfy the SAME from-scratch point->pixel
+    law as raster_stats (shared oracle): incremental == full rebuild."""
+    import os
+    import shutil
+    import tempfile
+
+    from freemap_tiler_spark.operators import rasterize as R
+    from freemap_tiler_spark.plans import lineage as L
+    from freemap_tiler_spark.streaming.incremental import incremental_update
+
+    g = _docs_geo(spark, sf_dir)
+    old = g.where(F.col("doc_id") < 400)
+    new = g.where(F.col("doc_id") >= 400)
+    root = os.path.join(tempfile.gettempdir(), "contract_incr_pyr")
+    shutil.rmtree(root, ignore_errors=True)
+    leaves0 = pyramid.rasterize_level(
+        pyramid.assign_cells(old, "lon", "lat", 8), tile_size=64
+    )
+    # depth 3 (z8..z6): the oracle checks the repaired LEAF level; deeper
+    # ancestors are covered by the byte-identity pytest — keeps the query
+    # inside the driver's per-query budget
+    L.write_pyramid(spark, leaves0, root, 8, 6, 64, resume=False)
+    incremental_update(spark, g, new, root, 8, 6, 64)
+    leaves = spark.read.parquet(L.level_path(root, 8))
+    return R.raster_stats(leaves, tile_size=64, bands=2).orderBy("cell")
+
+
 def q_source_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/F8 geo-transform bbox scan: min/max over per-block corner
     coordinates (one tiny agg), integer millimetres; the oracle is the
@@ -1601,6 +1631,7 @@ QUERIES = {
     "extract_text": q_extract_text,
     "stream_rollup": q_stream_rollup,
     "source_bbox": q_source_bbox,
+    "incremental_update": q_incremental_update,
     "geojson_parse": q_geojson_parse,
     "mask_nodata": q_mask_nodata,
     "empty_markers": q_empty_markers,
@@ -1654,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": SQL_EXTRACT_TEXT,
         "stream_rollup": _sql_stream_rollup(),
         "source_bbox": _sql_source_bbox(),
+        "incremental_update": _sql_raster_stats(),
         "geojson_parse": _sql_geojson_parse(),
         "mask_nodata": SQL_MASK_NODATA,
         "empty_markers": _sql_empty_markers(),

@@ -57,3 +57,41 @@ def test_tile_assign_consistent_with_bounds():
     eps = 1e-6
     assert (px >= mn_x - eps).all() and (px <= mx_x + eps).all()
     assert (py >= mn_y - eps).all() and (py <= mx_y + eps).all()
+
+
+def test_tm_forward_inverse_roundtrip():
+    """Ellipsoidal Transverse Mercator (Snyder): sub-mm roundtrip over the
+    UTM-33N usable band."""
+    import numpy as np
+
+    from freemap_tiler_spark.functions import crs
+
+    lon = np.linspace(12.0, 18.0, 40)
+    lat = np.linspace(40.0, 60.0, 40)
+    x, y = crs.tm_forward(lon, lat, 15.0)
+    lon2, lat2 = crs.tm_inverse(x, y, 15.0)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+    # central meridian at the equator is exactly (false_easting, 0)
+    x0, y0 = crs.tm_forward(np.array([15.0]), np.array([0.0]), 15.0)
+    assert abs(x0[0] - 500_000.0) < 1e-6 and abs(y0[0]) < 1e-6
+
+
+def test_crs_registry_utm_and_errors():
+    import numpy as np
+    import pytest
+
+    from freemap_tiler_spark.functions import crs
+
+    pair = crs.lookup_crs("EPSG:32633")
+    assert pair is not None
+    to_merc, from_merc = pair
+    mx, my = to_merc(np.array([500_000.0]), np.array([5_300_000.0]))
+    X, Y = from_merc(mx, my)
+    assert abs(X[0] - 500_000.0) < 1e-3 and abs(Y[0] - 5_300_000.0) < 1e-3
+    assert crs.lookup_crs("EPSG:3857") is None     # native separable path
+    with pytest.raises(ValueError):
+        crs.lookup_crs("EPSG:2169")                # unknown, not auto-UTM
+    # custom registration hook
+    crs.register_crs("TEST:identity", lambda x, y: (x, y), lambda x, y: (x, y))
+    assert crs.lookup_crs("TEST:identity") is not None
