@@ -161,6 +161,123 @@ def ann_topk(
     )
 
 
+def ivf_build_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seeds = the n_centroids corpus
+    vectors with the smallest ids (reproducible across runs and cluster
+    sizes), refined by ``lloyd_iters`` k-means steps computed IN SPARK
+    (assign via argmin over the broadcast centroid matrix, re-center via
+    groupBy mean; empty clusters keep their previous centroid).  Returns
+    the centroid matrix driver-side (tiny: n_centroids x dim floats)."""
+    import numpy as np
+
+    seeds = (
+        corpus.orderBy(corpus_id).limit(n_centroids)
+        .select(vec_col).collect()
+    )
+    cents = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(corpus, cents, corpus_id, vec_col)
+        sums = assigned.groupBy("centroid_id").agg(
+            *[F.sum(F.element_at(F.col(vec_col), j + 1)).alias(f"s{j}") for j in range(dim)],
+            F.count("*").alias("n"),
+        ).collect()
+        nxt = cents.copy()
+        for r in sums:
+            v = np.array([r[f"s{j}"] for j in range(dim)], dtype=np.float64) / r["n"]
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                nxt[int(r["centroid_id"])] = v / n
+        cents = nxt
+    return [[float(x) for x in row] for row in cents]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Add the (or the ``nprobe`` nearest) centroid id(s) by cosine —
+    one vectorized Arrow kernel against the broadcast centroid matrix.
+    nprobe > 1 explodes one row per probed centroid (query side)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float32)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    cols = list(corpus.columns)
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in corpus.schema.fields]
+        + [f"{out_col} int"]
+    )
+    k = int(nprobe)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = np.asarray([np.asarray(e, np.float32) for e in pdf[vec_col]])
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ c.T                                  # (rows, n_cent)
+            if k == 1:
+                ids = sims.argmax(axis=1)[:, None]
+            else:
+                ids = np.argsort(-sims, axis=1)[:, :k]
+            out = pdf.loc[pdf.index.repeat(ids.shape[1])].reset_index(drop=True)
+            out[out_col] = ids.ravel().astype(np.int32)
+            yield out[cols + [out_col]]
+
+    return corpus.mapInPandas(_assign, schema)
+
+
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    probe_id: str = "probe_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k (the prompt's 'IVF variant as the scale
+    path'): corpus partitioned by nearest coarse centroid, probes visit
+    their ``nprobe`` nearest cells, exact cosine re-rank on the visited
+    candidates.  Candidates per probe ~ nprobe/n_centroids of the corpus
+    — an equi-join on centroid_id, never all-pairs."""
+    if centroids is None:
+        centroids = ivf_build_centroids(corpus, dim, n_centroids, corpus_id, vec_col)
+    co = ivf_assign(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")),
+        centroids, corpus_id, "_cv", nprobe=1,
+    )
+    pr = ivf_assign(
+        probes.select(F.col(probe_id), F.col(vec_col).alias("_pv")),
+        centroids, probe_id, "_pv", nprobe=nprobe,
+    )
+    cand = pr.join(co, "centroid_id").select(probe_id, corpus_id, "_pv", "_cv")
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), corpus_id)
+    return (
+        cand.dropDuplicates([probe_id, corpus_id])
+        .withColumn("cos", cosine("_pv", "_cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, corpus_id, "cos", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int,

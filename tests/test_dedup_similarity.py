@@ -102,3 +102,23 @@ def test_sample_frames_plumbing(spark):
     import pytest as _pt
     with _pt.raises(M.DecoderStub):
         M.sample_frames(media, decode="stub")
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF variant: candidates come only from nprobe cells (never
+    all-pairs) and recall clears the documented floor."""
+    import numpy as np
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pr = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    ivf = similarity.ivf_topk(pr, e, dim=64, k=5, n_centroids=16, nprobe=6)
+    brute = similarity.brute_force_topk(pr, e, k=5)
+    a = {(r.probe_id, r.vec_id) for r in ivf.collect()}
+    b = {(r.probe_id, r.vec_id) for r in brute.collect()}
+    assert len(a & b) / len(b) >= 0.6
+    # deterministic across runs
+    a2 = {(r.probe_id, r.vec_id) for r in similarity.ivf_topk(
+        pr, e, dim=64, k=5, n_centroids=16, nprobe=6).collect()}
+    assert a == a2
