@@ -96,6 +96,26 @@ def _inverse_map_global_px(
     return sx, sy
 
 
+def _axis_scale(centers: np.ndarray, fallback: float) -> float:
+    """Source pixels per TARGET pixel along one axis, measured from the
+    inverse map itself (median |diff| of consecutive target-pixel source
+    coords).  Unit-safe for any source CRS: an analytic ``span/t/|gt|``
+    mixes WebMercator meters with source-CRS units (for EPSG:4326 that gave
+    a ~1e5x overstretched kernel - multi-GB tap arrays and near-uniform
+    blur).  ``fallback`` covers 1-pixel crops where no diff exists."""
+    if centers.size >= 2:
+        return float(np.median(np.abs(np.diff(centers, axis=-1))))
+    return fallback
+
+
+# Peak-memory cap for the megatile warp: a low-res block upsampled to a deep
+# zoom can cover tens of thousands of target pixels per side; resampling it
+# as ONE float32 array is multi-GB.  Bands of whole tile-rows bound the
+# intermediate to ~budget*nb*4 bytes while keeping the once-per-source-pixel
+# economics (the y-pass gathers only the band's source rows).
+MEGATILE_BAND_PX = 4 << 20
+
+
 def _lanczos_apply_axis0(
     arr: np.ndarray, centers: np.ndarray, scale: float
 ) -> np.ndarray:
@@ -183,10 +203,14 @@ def warp_blocks_to_tiles(
                 tx1 = int((bx.max() + mercator.ORIGIN - 1e-9) // span)
                 ty0 = int((mercator.ORIGIN - by.max()) // span)
                 ty1 = int((mercator.ORIGIN - by.min() - 1e-9) // span)
-                # source pixels per target pixel (kernel stretch when the
-                # warp downscales); axis-aligned transforms -> per-axis
-                sx_scale = span / t / abs(gt[1])
-                sy_scale = span / t / abs(gt[5])
+                # kernel-stretch fallback for 1-px crops, in SOURCE-CRS
+                # units (degrees for 4326); the real scale comes from the
+                # inverse map via _axis_scale below
+                unit = span / t
+                if row.crs == "EPSG:4326":
+                    unit = float(np.degrees(unit / mercator.R))
+                fb_x = unit / abs(gt[1])
+                fb_y = unit / abs(gt[5])
                 for ty in (range(max(ty0, 0), min(ty1, (1 << zoom) - 1) + 1)
                            if pair is not None else ()):
                     for tx in range(max(tx0, 0), min(tx1, (1 << zoom) - 1) + 1):
@@ -256,38 +280,48 @@ def warp_blocks_to_tiles(
                 gy_lo, gy_hi = g0y + int(yi[0]), g0y + int(yi[-1]) + 1
                 sxc = sx[xi[0]:xi[-1] + 1]
                 syc = sy[yi[0]:yi[-1] + 1]
-                if resampling == "nearest":
-                    mega = img[np.clip(np.rint(syc).astype(int), 0, h - 1)][
-                        :, np.clip(np.rint(sxc).astype(int), 0, w - 1)
-                    ]
-                elif resampling == "bilinear":
-                    x0 = np.clip(np.floor(sxc).astype(int), 0, w - 1)
-                    y0 = np.clip(np.floor(syc).astype(int), 0, h - 1)
-                    x1 = np.clip(x0 + 1, 0, w - 1)
-                    y1 = np.clip(y0 + 1, 0, h - 1)
-                    fx = np.clip(sxc - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
-                    fy = np.clip(syc - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
-                    top, bot = img[y0], img[y1]
-                    rows_ = top * (1 - fy) + bot * fy
-                    mega = rows_[:, x0] * (1 - fx) + rows_[:, x1] * fx
-                else:  # lanczos (banded separable, rows then cols)
-                    tmp = _lanczos_apply_axis0(img, syc, sy_scale)
-                    mega = _lanczos_apply_axis0(
-                        tmp.transpose(1, 0, 2), sxc, sx_scale
-                    ).transpose(1, 0, 2)
-                mega = np.clip(np.rint(mega), 0, 255).astype(np.uint8)
-                # slice the megatile into per-tile pieces
-                for ty in range(gy_lo // t, (gy_hi - 1) // t + 1):
-                    ra, rb = max(ty * t, gy_lo), min((ty + 1) * t, gy_hi)
-                    for tx in range(gx_lo // t, (gx_hi - 1) // t + 1):
-                        ca, cb = max(tx * t, gx_lo), min((tx + 1) * t, gx_hi)
-                        piece = mega[ra - gy_lo:rb - gy_lo, ca - gx_lo:cb - gx_lo]
-                        o_c.append(int(cells.np_cell(zoom, tx, ty)))
-                        o_x0.append(ca - tx * t)
-                        o_y0.append(ra - ty * t)
-                        o_w.append(cb - ca)
-                        o_h.append(rb - ra)
-                        o_p.append(np.ascontiguousarray(piece).tobytes())
+                sx_scale = _axis_scale(sxc, fb_x)
+                sy_scale = _axis_scale(syc, fb_y)
+                cols_total = gx_hi - gx_lo
+                ty_lo, ty_hi = gy_lo // t, (gy_hi - 1) // t
+                band_tiles = max(1, MEGATILE_BAND_PX // max(cols_total * t, 1))
+                for bty in range(ty_lo, ty_hi + 1, band_tiles):
+                    bty1 = min(bty + band_tiles - 1, ty_hi)
+                    ra_g = max(bty * t, gy_lo)
+                    rb_g = min((bty1 + 1) * t, gy_hi)
+                    syb = syc[ra_g - gy_lo:rb_g - gy_lo]
+                    if resampling == "nearest":
+                        mega = img[np.clip(np.rint(syb).astype(int), 0, h - 1)][
+                            :, np.clip(np.rint(sxc).astype(int), 0, w - 1)
+                        ]
+                    elif resampling == "bilinear":
+                        x0 = np.clip(np.floor(sxc).astype(int), 0, w - 1)
+                        y0 = np.clip(np.floor(syb).astype(int), 0, h - 1)
+                        x1 = np.clip(x0 + 1, 0, w - 1)
+                        y1 = np.clip(y0 + 1, 0, h - 1)
+                        fx = np.clip(sxc - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+                        fy = np.clip(syb - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+                        top, bot = img[y0], img[y1]
+                        rows_ = top * (1 - fy) + bot * fy
+                        mega = rows_[:, x0] * (1 - fx) + rows_[:, x1] * fx
+                    else:  # lanczos (banded separable, rows then cols)
+                        tmp = _lanczos_apply_axis0(img, syb, sy_scale)
+                        mega = _lanczos_apply_axis0(
+                            tmp.transpose(1, 0, 2), sxc, sx_scale
+                        ).transpose(1, 0, 2)
+                    mega = np.clip(np.rint(mega), 0, 255).astype(np.uint8)
+                    # slice the band into per-tile pieces
+                    for ty in range(bty, bty1 + 1):
+                        ra, rb = max(ty * t, ra_g), min((ty + 1) * t, rb_g)
+                        for tx in range(gx_lo // t, (gx_hi - 1) // t + 1):
+                            ca, cb = max(tx * t, gx_lo), min((tx + 1) * t, gx_hi)
+                            piece = mega[ra - ra_g:rb - ra_g, ca - gx_lo:cb - gx_lo]
+                            o_c.append(int(cells.np_cell(zoom, tx, ty)))
+                            o_x0.append(ca - tx * t)
+                            o_y0.append(ra - ty * t)
+                            o_w.append(cb - ca)
+                            o_h.append(rb - ra)
+                            o_p.append(np.ascontiguousarray(piece).tobytes())
             yield pd.DataFrame(
                 {"cell": o_c, "px0": o_x0, "py0": o_y0,
                  "pw": o_w, "ph": o_h, "payload": o_p}

@@ -73,6 +73,48 @@ def test_warp_4326_path(spark):
     assert tiles.count() > 0
 
 
+def test_warp_4326_lanczos_values(spark):
+    """4326 downscale warp reproduces a linear ramp: catches the kernel
+    stretch units bug (span/t is mercator METERS, gt[1] DEGREES — the
+    analytic ratio overstretched the kernel ~1e5x, blurring tiles to a
+    near-uniform average; the map-derived _axis_scale fixes it)."""
+    from freemap_tiler_spark.functions import mercator as M
+
+    w = h = 256
+    img = np.zeros((h, w, 2), np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]  # ramp = gx
+    img[:, :, 1] = 255
+    gt = [17.0, 0.01, 0.0, 49.0, 0.0, -0.01]
+    df = spark.createDataFrame(
+        [(0, 0, w, h, 2, bytearray(img.tobytes()), gt, "EPSG:4326", [None, None])],
+        "block_x int, block_y int, width int, height int, bands int, "
+        "data binary, geo_transform array<double>, crs string, nodata array<int>",
+    )
+    zoom, t = 6, 256  # ~2.2 source px per target px: exercises the stretch
+    rows = raster_ops.warp_blocks_to_tiles(df, zoom=zoom, tile_size=t).collect()
+    assert rows
+    span = M.WORLD / (1 << zoom)
+    errs = []
+    for r in rows:
+        _, tx, ty = cells.np_cell_zxy(np.array([r.cell]))
+        tx, ty = int(tx[0]), int(ty[0])
+        pix = np.frombuffer(r.payload, np.uint8).reshape(t, t, 2)
+        mx = (tx * t + np.arange(t) + 0.5) * span / t - M.ORIGIN
+        sx = (np.degrees(mx / M.R) - gt[0]) / gt[1] - 0.5
+        ok = (sx > 10) & (sx < 245)  # away from clip edges
+        if not ok.any():
+            continue
+        got = pix[:, ok, 0][pix[:, ok, 1] == 255].astype(float)
+        exp = np.broadcast_to(sx[ok][None, :], (t, int(ok.sum())))[
+            pix[:, ok, 1] == 255
+        ]
+        if got.size:
+            errs.append(np.abs(got - exp))
+    err = np.concatenate(errs)
+    assert err.size > 1000
+    assert err.mean() < 2.0, f"mean abs ramp error {err.mean():.2f}"
+
+
 def test_tile_cover_counts(spark):
     from freemap_tiler_spark.functions import mercator
 
