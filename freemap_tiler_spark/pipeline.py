@@ -39,17 +39,60 @@ from freemap_tiler_spark.sources.geojson import parse_geojson_polygon
 from freemap_tiler_spark.sources.raster_blocks import source_bbox
 
 
+def _segments_hit_rects(
+    p1x: np.ndarray, p1y: np.ndarray, p2x: np.ndarray, p2y: np.ndarray,
+    lon0: np.ndarray, lat0: np.ndarray, lon1: np.ndarray, lat1: np.ndarray,
+) -> np.ndarray:
+    """(tiles,) bool: does ANY segment (E,) intersect each SOLID axis-aligned
+    rect (N,)?  Vectorized Liang-Barsky: clip the segment parameter range
+    [0, 1] against the 4 slabs; nonempty remainder == hit.  Zero-extent
+    axes (vertical/horizontal/point segments) fall out of the same formula
+    by substituting an infinite t-range when the fixed coordinate lies in
+    the slab and an empty one when it doesn't."""
+    dx = (p2x - p1x)[None, :]
+    dy = (p2y - p1y)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tax = (lon0[:, None] - p1x[None, :]) / dx
+        tbx = (lon1[:, None] - p1x[None, :]) / dx
+        tay = (lat0[:, None] - p1y[None, :]) / dy
+        tby = (lat1[:, None] - p1y[None, :]) / dy
+    inf = np.inf
+    zx = dx == 0
+    in_x = (p1x[None, :] >= lon0[:, None]) & (p1x[None, :] <= lon1[:, None])
+    tx_lo = np.where(zx, np.where(in_x, -inf, inf), np.minimum(tax, tbx))
+    tx_hi = np.where(zx, np.where(in_x, inf, -inf), np.maximum(tax, tbx))
+    zy = dy == 0
+    in_y = (p1y[None, :] >= lat0[:, None]) & (p1y[None, :] <= lat1[:, None])
+    ty_lo = np.where(zy, np.where(in_y, -inf, inf), np.minimum(tay, tby))
+    ty_hi = np.where(zy, np.where(in_y, inf, -inf), np.maximum(tay, tby))
+    t0 = np.maximum(0.0, np.maximum(tx_lo, ty_lo))
+    t1 = np.minimum(1.0, np.minimum(tx_hi, ty_hi))
+    return (t0 <= t1).any(axis=1)
+
+
 def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:
     """J3/P2: keep tiles whose bounds rectangle intersects the polygon —
-    approximated (exactly like a rasterized prune) by testing the tile's
-    center + 4 corners; a tile is kept if any probe point is inside OR the
-    polygon has a vertex inside the tile bbox (symmetric condition)."""
+    EXACT rect x polygon `Intersects` (reference src/main.rs:187-198):
+    keep iff (a) any probe point (center + 4 corners) is inside the
+    polygon (tile fully/partly covered), OR (b) any polygon boundary
+    segment intersects the solid tile bbox (Liang-Barsky; subsumes
+    vertex-in-bbox since segment endpoints are vertices).  (a) catches
+    tile-inside-polygon, (b) catches polygon-inside-tile and every
+    boundary crossing — including the thin strip that crosses a tile with
+    no vertex or probe containment, which the round-2 probe-only rule
+    wrongly pruned."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    all_x = np.concatenate([r[0] for r in rings_lonlat])
-    all_y = np.concatenate([r[1] for r in rings_lonlat])
+    e1x, e1y, e2x, e2y = [], [], [], []
+    for xs, ys in rings_lonlat:
+        e1x.append(xs)
+        e1y.append(ys)
+        e2x.append(np.roll(xs, -1))
+        e2y.append(np.roll(ys, -1))
+    e1x, e1y = np.concatenate(e1x), np.concatenate(e1y)
+    e2x, e2y = np.concatenate(e2x), np.concatenate(e2y)
 
     def _keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -61,19 +104,24 @@ def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:
             lat1 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y / n))))
             lat0 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (y + 1) / n))))
             keep = np.zeros(len(pdf), dtype=bool)
-            # probe: center + corners inside polygon
+            # (a) probe: center + corners inside polygon
             for fx, fy in ((0.5, 0.5), (0, 0), (1, 0), (0, 1), (1, 1)):
                 px = lon0 + (lon1 - lon0) * fx
                 py = lat0 + (lat1 - lat0) * fy
                 keep |= points_in_polygon(px, py, rings_lonlat)
-            # probe: any polygon vertex inside tile bbox
-            for i in range(len(pdf)):
-                if keep[i]:
-                    continue
-                keep[i] = bool(
-                    ((all_x >= lon0[i]) & (all_x <= lon1[i])
-                     & (all_y >= lat0[i]) & (all_y <= lat1[i])).any()
+            # (b) any boundary segment hits the tile bbox; edge-chunked so
+            # (tiles x edges) temporaries stay bounded for huge polygons
+            todo = ~keep
+            for e0 in range(0, len(e1x), 512):
+                if not todo.any():
+                    break
+                sl = slice(e0, e0 + 512)
+                hit = _segments_hit_rects(
+                    e1x[sl], e1y[sl], e2x[sl], e2y[sl],
+                    lon0[todo], lat0[todo], lon1[todo], lat1[todo],
                 )
+                keep[np.nonzero(todo)[0][hit]] = True
+                todo = ~keep
             yield pdf[keep]
 
     return cover.mapInPandas(_keep, "cell long, x long, y long")
