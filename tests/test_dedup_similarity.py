@@ -122,3 +122,65 @@ def test_ivf_topk_recall_and_shape(spark):
     a2 = {(r.probe_id, r.vec_id) for r in similarity.ivf_topk(
         pr, e, dim=64, k=5, n_centroids=16, nprobe=6).collect()}
     assert a == a2
+
+
+def test_srp_gemm_matches_column_path(spark, sf_dir):
+    """srp_bucket_rows (one Arrow GEMM) produces bit-identical (tbl, bkt)
+    rows to the Column-expression srp_bucket for every vector — same md5
+    hyperplanes, float64 accumulation — including multiprobe flips."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    n_planes, n_tables, mp = 6, 3, 1
+    kernel = similarity.srp_bucket_rows(
+        emb, "vec_id", "embedding", 64, n_planes, n_tables, mp
+    )
+    got = {(r.vec_id, r.tbl, r.bkt) for r in kernel.collect()}
+    entries = []
+    flips = similarity._bit_flips(n_planes, mp)
+    for t in range(n_tables):
+        base = similarity.srp_bucket(F.col("embedding"), 64, n_planes, t)
+        for m in flips:
+            bkt = base.bitwiseXOR(F.lit(m)) if m else base
+            entries.append(F.struct(F.lit(t).alias("tbl"), bkt.alias("bkt")))
+    ref = emb.select("vec_id", F.explode(F.array(*entries)).alias("b")).select(
+        "vec_id", "b.tbl", "b.bkt"
+    )
+    exp = {(r.vec_id, r.tbl, r.bkt) for r in ref.collect()}
+    assert got == exp
+
+
+def test_srp_768dim_plan_and_throughput(spark):
+    """The 100-TB plan-width check (VERDICT r2 #2): 768-dim bucketing over
+    8 tables x 10 planes must neither blow up the Catalyst plan (O(1)
+    literals — the Column form would carry ~250k) nor crawl.  5e4 vectors
+    bucket + aggregate in well under a minute."""
+    import time
+
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    n, dim = 50_000, 768
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rng = np.random.default_rng(int(pdf["id"].iloc[0]))
+            v = rng.standard_normal((len(pdf), dim)).astype(np.float32)
+            yield pd.DataFrame({"vec_id": pdf["id"], "embedding": list(v)})
+
+    emb = spark.range(n, numPartitions=16).mapInPandas(
+        gen,
+        StructType([
+            StructField("vec_id", spark.range(1).schema[0].dataType),
+            StructField("embedding", ArrayType(FloatType())),
+        ]),
+    )
+    rows = similarity.srp_bucket_rows(emb, "vec_id", "embedding", dim, 10, 8)
+    plan = rows._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan string {len(plan)} chars — literal blow-up?"
+    t0 = time.time()
+    cnt = rows.groupBy("tbl").agg(F.countDistinct("bkt").alias("nb")).collect()
+    wall = time.time() - t0
+    assert {r.tbl for r in cnt} == set(range(8))
+    assert all(r.nb > 500 for r in cnt)  # 2^10 buckets, well-spread signs
+    assert wall < 60, f"768-dim bucketing took {wall:.1f}s"
