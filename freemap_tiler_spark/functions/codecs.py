@@ -9,9 +9,10 @@ Pillow / zstandard / libjpeg, so:
   6), 8-bit, no interlace — the La8/Rgba8 paths of src/processor.rs:543-562.
   Filter type 0 on every scanline (deterministic; "Best/Adaptive" in the
   reference is a size optimization, not a semantics change).
-- **Alpha sidecar** uses zlib (level 6) with a 4-byte magic b"ZLA1" instead
-  of zstd (src/processor.rs:515-526) — zstandard is not installed.  The
-  format is pinned by tests; swapping in zstd later only changes the magic.
+- **Alpha sidecar** is a REAL zstd frame (RFC 8878) built from Raw/RLE
+  blocks in pure Python — decodable by every conformant zstd, matching the
+  reference's interchange format (src/processor.rs:515-526).  The round-1/2
+  zlib sidecar (b"ZLA1") stays readable as legacy.
 - **JPEG** is replaced by a clearly-marked deterministic stand-in, QDCT
   (b"QDM1" magic): quality-quantized pixels + zlib.  Real JPEG's semantics
   here are "lossy encode whose decode is pixel-close"; QDCT reproduces that
@@ -115,22 +116,114 @@ def png_decode(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Alpha sidecar (zstd stand-in; src/processor.rs:515-526 semantics)
+# Alpha sidecar: REAL zstd frame (RFC 8878), RAW/RLE blocks
 # ---------------------------------------------------------------------------
+#
+# The reference writes the alpha plane as zstd level 0 and decodes with
+# decode_all (src/processor.rs:515-526, 205-209).  zstandard-the-library is
+# not installed here, but RFC 8878 permits frames made only of Raw and RLE
+# blocks — ~100 LoC of pure Python that EVERY standard zstd decoder reads.
+# Alpha planes are long 0/255 runs, so RLE blocks compress them well anyway.
+# The round-1/2 zlib sidecar (b"ZLA1" magic) remains readable as legacy.
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_ZSTD_MAX_BLOCK = 128 * 1024  # Block_Maximum_Size cap (RFC 8878 §3.1.1.2.3)
+
+
+def _zstd_block_header(size: int, btype: int, last: bool) -> bytes:
+    # 3-byte LE: bit0 Last_Block, bits1-2 Block_Type, bits3-23 Block_Size
+    return struct.pack("<I", (size << 3) | (btype << 1) | int(last))[:3]
+
+
+def zstd_frame_encode(data: bytes, min_rle: int = 16) -> bytes:
+    """A standard zstd frame: magic + single-segment header (4-byte frame
+    content size) + Raw/RLE blocks.  Byte runs >= ``min_rle`` become RLE
+    blocks (1 content byte each); everything else is stored Raw.  Output is
+    decodable by any conformant zstd (`zstd -d`, python-zstandard,
+    decode_all in the reference)."""
+    n = len(data)
+    head = ZSTD_MAGIC + bytes([0xA0]) + struct.pack("<I", n)
+    # 0xA0 = Frame_Content_Size_flag 2 (4-byte FCS) | Single_Segment_flag
+    if n == 0:
+        return head + _zstd_block_header(0, 0, True)
+    arr = np.frombuffer(data, np.uint8)
+    change = np.nonzero(np.diff(arr))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [np.int64(n)]])
+    segs: list[tuple[int, int, int]] = []  # (btype, start, end)
+    raw_from = 0
+    for s, e in zip(starts, ends):
+        if e - s >= min_rle:
+            if s > raw_from:
+                segs.append((0, raw_from, int(s)))
+            segs.append((1, int(s), int(e)))
+            raw_from = int(e)
+    if raw_from < n:
+        segs.append((0, raw_from, n))
+    pieces: list[tuple[int, int, int]] = []  # (btype, pos, size) chunked
+    for btype, s, e in segs:
+        pos = s
+        while pos < e:
+            c = min(_ZSTD_MAX_BLOCK, e - pos)
+            pieces.append((btype, pos, c))
+            pos += c
+    out = [head]
+    for i, (btype, pos, c) in enumerate(pieces):
+        last = i == len(pieces) - 1
+        out.append(_zstd_block_header(c, btype, last))
+        out.append(data[pos:pos + 1] if btype == 1 else data[pos:pos + c])
+    return b"".join(out)
+
+
+def zstd_frame_decode(data: bytes) -> bytes:
+    """Decode a zstd frame of Raw/RLE blocks (any conformant header shape:
+    single-segment or windowed, all FCS/dict-id widths, trailing checksum
+    tolerated).  Compressed (FSE/Huffman) blocks are rejected — this
+    engine's writer never emits them."""
+    assert data[:4] == ZSTD_MAGIC, "not a zstd frame"
+    fhd = data[4]
+    pos = 5
+    fcs_flag, single, dict_flag = fhd >> 6, (fhd >> 5) & 1, fhd & 3
+    if not single:
+        pos += 1  # Window_Descriptor
+    pos += (0, 1, 2, 4)[dict_flag]
+    pos += (1 if single else 0, 2, 4, 8)[fcs_flag]
+    out = bytearray()
+    while True:
+        bh = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        last, btype, size = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 0:
+            out += data[pos:pos + size]
+            pos += size
+        elif btype == 1:
+            out += data[pos:pos + 1] * size
+            pos += 1
+        else:
+            raise ValueError("compressed zstd block: not written by this engine")
+        if last:
+            break
+    return bytes(out)
+
 
 def alpha_encode(alpha: np.ndarray) -> bytes | None:
     """None if fully opaque (opaque-elision, src/processor.rs:505-517),
-    else magic + zlib-compressed alpha plane."""
+    else a REAL zstd frame of the alpha plane (src/processor.rs:515-526
+    interchange format; Raw/RLE blocks, see zstd_frame_encode)."""
     alpha = np.ascontiguousarray(alpha, dtype=np.uint8)
     if bool((alpha == 255).all()):
         return None
-    return ALPHA_MAGIC + zlib.compress(alpha.tobytes(), 6)
+    return zstd_frame_encode(alpha.tobytes())
 
 
 def alpha_decode(data: bytes | None, n: int) -> np.ndarray:
-    """Absent sidecar => constant 255 (src/processor.rs:205-209)."""
+    """Absent sidecar => constant 255 (src/processor.rs:205-209).  Reads
+    both the zstd frame (current) and the round-1/2 b"ZLA1" zlib sidecar
+    (legacy resume stores)."""
     if data is None or len(data) == 0:
         return np.full(n, 255, dtype=np.uint8)
+    if data[:4] == ZSTD_MAGIC:
+        return np.frombuffer(zstd_frame_decode(data), dtype=np.uint8)
     assert data[:4] == ALPHA_MAGIC
     return np.frombuffer(zlib.decompress(data[4:]), dtype=np.uint8)
 
