@@ -347,3 +347,39 @@ def test_iceberg_sink_fallback(spark, tmp_path):
     assert {r.zoom for r in back.select("zoom").collect()} == {8, 9}
     # layout check: hive-style zoom= directories
     assert (tmp_path / "tiles_tbl" / "zoom=9").exists()
+
+
+def test_mbtiles_export_png_and_jpeg(spark, blocks):
+    """S6 end-to-end parity artifact: the exported .mbtiles opens with
+    stdlib sqlite3, carries the reference DDL (src/schema.rs:11-40 —
+    5-column tiles for jpeg, 4-column for png), and sampled tiles
+    roundtrip byte-identical vs the parquet store."""
+    import sqlite3
+
+    from freemap_tiler_spark.plans.mbtiles import export_mbtiles
+
+    for fmt in ("png", "jpeg"):
+        root = tempfile.mkdtemp(prefix="tiler_mb_")
+        try:
+            run_tiler(spark, blocks, root, max_zoom=8, min_zoom=7,
+                      tile_size=32, fmt=fmt)
+            path = export_mbtiles(spark, root, f"{root}/out.mbtiles")
+            conn = sqlite3.connect(path)
+            cols = [r[1] for r in conn.execute("PRAGMA table_info(tiles)")]
+            want = ["zoom_level", "tile_column", "tile_row", "tile_data"]
+            assert cols == want + (["tile_alpha"] if fmt == "jpeg" else [])
+            idx = conn.execute(
+                "SELECT sql FROM sqlite_master WHERE name='idx_tiles'"
+            ).fetchone()[0]
+            assert "UNIQUE" in idx.upper()
+            meta = dict(conn.execute("SELECT name, value FROM metadata"))
+            assert meta["format"] == fmt and meta["maxzoom"] == "8"
+            st = {(r.zoom, r.x, r.tms_y): bytes(r.tile_data)
+                  for r in store.read_tiles(spark, root)
+                  .where("tile_data is not null").collect()}
+            db = {(z, x, y): bytes(d) for z, x, y, d in conn.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")}
+            assert db == st
+            conn.close()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
