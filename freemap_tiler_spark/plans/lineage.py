@@ -44,14 +44,51 @@ def _lineage_dir(root: str) -> str:
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
-    path = _lineage_dir(root)
-    try:
-        lin = spark.read.parquet(path)
-    except Exception:
-        return None
-    if "partition" not in lin.columns:  # pre-per-partition stores: summaries only
-        lin = lin.withColumn("partition", F.lit(-1))
-    return lin
+    # recovery order after a crashed _rewrite_lineage: live dir, then the
+    # fully-written replacement (.tmp), then the renamed-aside old (.old)
+    for suffix in ("", ".tmp", ".old"):
+        try:
+            lin = spark.read.parquet(_lineage_dir(root) + suffix)
+        except Exception:
+            continue
+        if "partition" not in lin.columns:  # pre-per-partition stores
+            lin = lin.withColumn("partition", F.lit(-1))
+        return lin
+    return None
+
+
+def _rewrite_lineage(spark: SparkSession, root: str, rows: list[tuple]) -> None:
+    """Replace the lineage table via write-new + two renames: at every
+    crash point either the old or the fully-written new table is readable
+    (read_lineage knows the recovery order)."""
+    from freemap_tiler_spark.plans import fsutil
+
+    live = _lineage_dir(root)
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("overwrite").parquet(
+        live + ".tmp"
+    )
+    fsutil.fs_delete(spark, live + ".old")
+    fsutil.fs_rename(spark, live, live + ".old")
+    fsutil.fs_rename(spark, live + ".tmp", live)
+    fsutil.fs_delete(spark, live + ".old")
+
+
+def _drop_slice_rows(spark: SparkSession, root: str, level: int) -> None:
+    """Remove stale slice rows for ``level`` before a fresh sliced write
+    (e.g. a resume=False rebuild): a later mid-level resume must only see
+    slice watermarks from the current write epoch."""
+    lin = read_lineage(spark, root)
+    if lin is None:
+        return
+    keep = lin.where(
+        ~((F.col("status") == "slice") & (F.col("level") == level))
+    ).collect()
+    _rewrite_lineage(
+        spark, root,
+        [tuple(r[c] for c in
+               ("level", "partition", "row_count", "min_cell", "max_cell",
+                "seconds", "status")) for r in keep],
+    )
 
 
 def committed_levels(spark: SparkSession, root: str) -> set[int]:
@@ -91,8 +128,96 @@ def _commit_level(
     return total
 
 
+def committed_slices(spark: SparkSession, root: str, level: int) -> dict[int, dict]:
+    """Slice rows (status='slice') already committed for ``level`` —
+    the mid-level restart points."""
+    lin = read_lineage(spark, root)
+    if lin is None:
+        return {}
+    rows = lin.where(
+        (F.col("status") == "slice") & (F.col("level") == level)
+    ).collect()
+    return {int(r["partition"]): r.asDict() for r in rows}
+
+
 def level_path(root: str, level: int) -> str:
     return os.path.join(root, "tiles", f"zoom={level}")
+
+
+def _write_level(
+    spark: SparkSession,
+    root: str,
+    level: int,
+    lv_df: DataFrame,
+    t0: float,
+    slices: int = 1,
+    resume: bool = True,
+) -> int:
+    """Write one level and commit its lineage.  ``slices`` > 1 enables
+    MID-LEVEL resume: the level is written in ``pmod(cell, slices)``-keyed
+    slices, each staged to ``{root}/_staging``, promoted into the flat
+    level directory under a slice-prefixed filename (Hadoop FS renames),
+    and recorded as a lineage row (level, slice, count, cell-range
+    watermark, status='slice').  A run killed half-way resumes writing
+    ONLY the missing slices; already-promoted slices are skipped using the
+    recorded watermarks, and re-promotion of a half-moved slice is
+    idempotent (its prefix is cleared first, then deterministically
+    rewritten).  The level summary row (partition=-1) is appended last —
+    it remains the level-commit marker ``committed_levels`` keys on."""
+    from freemap_tiler_spark.plans import fsutil
+
+    ldir = level_path(root, level)
+    if slices <= 1:
+        lv_df.write.mode("overwrite").parquet(ldir)
+        written = spark.read.parquet(ldir)
+        return _commit_level(spark, root, level, written, time.time() - t0)
+
+    done = committed_slices(spark, root, level) if resume else {}
+    if not done:
+        fsutil.fs_delete(spark, ldir)  # fresh sliced write == overwrite
+        _drop_slice_rows(spark, root, level)
+    stats: list[tuple] = []
+    for s in range(slices):
+        if s in done:
+            r = done[s]
+            stats.append((r["row_count"], r["min_cell"], r["max_cell"]))
+            continue
+        stage = os.path.join(root, "_staging", f"zoom={level}", f"slice={s}")
+        sub = lv_df.where(F.pmod(F.col("cell"), F.lit(slices)) == s)
+        sub.write.mode("overwrite").parquet(stage)
+        st = spark.read.parquet(stage).agg(
+            F.count("*").alias("n"), F.min("cell").alias("mn"), F.max("cell").alias("mx")
+        ).first()
+        fsutil.fs_mkdirs(spark, ldir)
+        for f in fsutil.fs_listdir(spark, ldir):
+            if f.startswith(f"s{s}-"):
+                fsutil.fs_delete(spark, os.path.join(ldir, f))
+        moved = 0
+        for f in sorted(fsutil.fs_listdir(spark, stage)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                fsutil.fs_rename(
+                    spark,
+                    os.path.join(stage, f),
+                    os.path.join(ldir, f"s{s}-{moved:05d}.parquet"),
+                )
+                moved += 1
+        fsutil.fs_delete(spark, stage)
+        row = (level, s, st["n"] or 0, st["mn"], st["mx"], time.time() - t0, "slice")
+        spark.createDataFrame([row], LINEAGE_SCHEMA).write.mode("append").parquet(
+            _lineage_dir(root)
+        )
+        stats.append((st["n"] or 0, st["mn"], st["mx"]))
+    total = int(sum(s[0] for s in stats))
+    mns = [s[1] for s in stats if s[1] is not None]
+    mxs = [s[2] for s in stats if s[2] is not None]
+    summary = (
+        level, -1, total, min(mns, default=None), max(mxs, default=None),
+        time.time() - t0, "committed",
+    )
+    spark.createDataFrame([summary], LINEAGE_SCHEMA).write.mode("append").parquet(
+        _lineage_dir(root)
+    )
+    return total
 
 
 def write_pyramid(
@@ -105,9 +230,13 @@ def write_pyramid(
     bands: int = 2,
     levels_per_shuffle: int = 3,
     resume: bool = True,
+    slices_per_level: int = 1,
 ) -> dict:
     """Build + write the pyramid level group by level group, committing
-    lineage after each; resume skips committed groups.
+    lineage after each; resume skips committed groups.  With
+    ``slices_per_level`` > 1, each level additionally commits in
+    cell-keyed slices so a kill mid-level resumes writing only the
+    missing slices (see _write_level).
 
     Returns {level: row_count} for the run (committed-and-skipped levels
     report their recorded counts)."""
@@ -125,9 +254,10 @@ def write_pyramid(
     else:
         z = max_zoom
         t0 = time.time()
-        leaves.write.mode("overwrite").parquet(level_path(root, max_zoom))
+        out[z] = _write_level(
+            spark, root, max_zoom, leaves, t0, slices_per_level, resume
+        )
         current = spark.read.parquet(level_path(root, max_zoom))
-        out[z] = _commit_level(spark, root, max_zoom, current, time.time() - t0)
     if z not in out:
         out[z] = current.count()
 
@@ -145,9 +275,9 @@ def write_pyramid(
         produced = produced.persist()
         for lv in sorted(group, reverse=True):
             lv_df = produced.where(P.cells.cell_zoom("cell") == lv)
-            lv_df.write.mode("overwrite").parquet(level_path(root, lv))
-            written = spark.read.parquet(level_path(root, lv))
-            out[lv] = _commit_level(spark, root, lv, written, time.time() - t0)
+            out[lv] = _write_level(
+                spark, root, lv, lv_df, t0, slices_per_level, resume
+            )
         produced.unpersist()
         for df in cache:
             df.unpersist()

@@ -71,3 +71,56 @@ def test_resume_anti_join(spark, sf_dir):
     done = pending.limit(3)
     remaining = L.resume_anti_join(pending, done)
     assert remaining.count() == pending.count() - 3
+
+
+def test_mid_level_slice_resume_byte_identical(spark, sf_dir):
+    """Kill half-way through a level: resume writes ONLY the missing
+    slices (committed slice watermarks are reused, their lineage rows are
+    not re-appended) and the store is byte-identical to an uninterrupted
+    run (VERDICT r2 next-round #4)."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    root = tempfile.mkdtemp(prefix="pyr_slice_")
+    try:
+        leaves = _leaves(spark, sf_dir)
+        L.write_pyramid(spark, leaves, root, 5, 0, 32, slices_per_level=3)
+        full1 = {r.cell: bytes(r.payload) for r in L.read_pyramid(spark, root).collect()}
+        # simulate a crash mid-level-2: drop level 2's summary + slice 1,
+        # its slice-1 files, and everything below (levels 0-1)
+        lin = L.read_lineage(spark, root)
+        keep = [
+            tuple(r[c] for c in ("level", "partition", "row_count", "min_cell",
+                                 "max_cell", "seconds", "status"))
+            for r in lin.where(
+                "level >= 3 OR (level = 2 AND status = 'slice' AND partition IN (0, 2))"
+            ).collect()
+        ]
+        shutil.rmtree(f"{root}/_lineage")
+        spark.createDataFrame(keep, L.LINEAGE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/_lineage")
+        ldir = L.level_path(root, 2)
+        for f in os.listdir(ldir):
+            if f.startswith("s1-"):
+                os.remove(os.path.join(ldir, f))
+        for z in (0, 1):
+            shutil.rmtree(L.level_path(root, z))
+        out = L.write_pyramid(spark, leaves, root, 5, 0, 32, slices_per_level=3)
+        assert set(out) == set(range(6))
+        lin2 = L.read_lineage(spark, root)
+        # slices 0 and 2 of level 2 kept their single original commit row
+        cnt = {int(r["partition"]): r["n"] for r in lin2.where(
+            "level = 2 AND status = 'slice'"
+        ).groupBy("partition").agg(SF.count("*").alias("n")).collect()}
+        assert cnt == {0: 1, 1: 1, 2: 1}
+        full2 = {r.cell: bytes(r.payload) for r in L.read_pyramid(spark, root).collect()}
+        assert full1 == full2
+        # per-slice watermarks sum to each level summary
+        parts = {r["level"]: r["n"] for r in lin2.where("status = 'slice'")
+                 .groupBy("level").agg(SF.sum("row_count").alias("n")).collect()}
+        for r in lin2.where("partition = -1").collect():
+            assert parts[r["level"]] == r["row_count"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
