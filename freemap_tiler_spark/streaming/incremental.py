@@ -22,7 +22,6 @@ daily 100 TB corpus refreshes feasible.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,7 +29,49 @@ from pyspark.sql import functions as F
 
 from freemap_tiler_spark.functions import cells
 from freemap_tiler_spark.operators import pyramid as P
+from freemap_tiler_spark.plans import fsutil
 from freemap_tiler_spark.plans import lineage as L
+
+
+def _aside_paths(final: str) -> tuple[str, str]:
+    """Staging/old siblings of a level dir, underscore-prefixed so Spark's
+    partition discovery over {root}/tiles ignores them if a crash leaves
+    them behind."""
+    d, b = os.path.split(final)
+    return os.path.join(d, f"_{b}.staging"), os.path.join(d, f"_{b}.old")
+
+
+def _recover_swap(spark: SparkSession, final: str) -> None:
+    """Heal a crash inside ``_swap_commit``: if the live dir is missing,
+    promote a COMPLETE staging dir (_SUCCESS present) or restore the
+    renamed-aside old version — every crash point leaves one of the two
+    readable."""
+    staging, old = _aside_paths(final)
+    if fsutil.fs_exists(spark, final):
+        fsutil.fs_delete(spark, staging)
+        fsutil.fs_delete(spark, old)
+        return
+    if fsutil.fs_exists(spark, staging + "/_SUCCESS"):
+        fsutil.fs_rename(spark, staging, final)
+        fsutil.fs_delete(spark, old)
+    elif fsutil.fs_exists(spark, old):
+        fsutil.fs_rename(spark, old, final)
+        fsutil.fs_delete(spark, staging)
+
+
+def _swap_commit(spark: SparkSession, final: str) -> None:
+    """Promote {final}.staging over {final} via TWO renames (old version
+    set aside first, removed last) through the Hadoop FS API — atomic on
+    HDFS/local, and never a window where the level directory is simply
+    gone (the round-2 rmtree+os.rename swap was local-only and a crash
+    between the two calls lost the live dir while lineage still marked
+    the level committed)."""
+    staging, old = _aside_paths(final)
+    fsutil.fs_delete(spark, old)
+    if fsutil.fs_exists(spark, final):
+        fsutil.fs_rename(spark, final, old)
+    fsutil.fs_rename(spark, staging, final)
+    fsutil.fs_delete(spark, old)
 
 
 def incremental_update(
@@ -65,20 +106,19 @@ def incremental_update(
     for z in range(max_zoom, min_zoom - 1, -1):
         t0 = time.time()
         final = L.level_path(root, z)
+        _recover_swap(spark, final)
         stored = spark.read.parquet(final)
         dirty_cells = current_dirty.select("cell").distinct()
         merged = stored.join(dirty_cells, "cell", "left_anti").unionByName(
             current_dirty
         )
-        # write ONCE to a staging dir, then swap by rename — no second
-        # read-back-and-rewrite (2x write amplification) and no leaked
-        # .tmp dirs; the rename is the commit point, recorded in lineage
-        # so a crash between swap and commit is detectable on resume.
-        tmp_path = final + ".staging"
-        merged.write.mode("overwrite").parquet(tmp_path)
+        # write ONCE to a staging dir, then promote with the two-rename
+        # swap (old set aside, never a missing-live-dir window; Hadoop FS
+        # so HDFS/S3 roots work); the swap is the commit point, recorded
+        # in lineage so a crash between swap and commit is detectable.
+        merged.write.mode("overwrite").parquet(_aside_paths(final)[0])
         out[z] = dirty_cells.count()
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp_path, final)
+        _swap_commit(spark, final)
         written = spark.read.parquet(final)
         L._commit_level(spark, root, z, written, time.time() - t0)
         # prev_cache still backs parent_cells below (it executes at the

@@ -36,3 +36,38 @@ def test_incremental_equals_full_rebuild(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root_full, ignore_errors=True)
+
+
+def test_swap_commit_recovery_states(spark, tmp_path):
+    """Every crash point of the two-rename swap leaves a readable level:
+    live present, or complete staging, or the set-aside old version."""
+    from freemap_tiler_spark.streaming.incremental import (
+        _aside_paths, _recover_swap, _swap_commit,
+    )
+
+    final = str(tmp_path / "zoom=3")
+    staging, old = _aside_paths(final)
+    spark.range(5).write.parquet(final)
+    spark.range(9).write.parquet(staging)
+    # normal promote: staging becomes live, old cleaned
+    _swap_commit(spark, final)
+    assert spark.read.parquet(final).count() == 9
+    import os
+    assert not os.path.exists(staging) and not os.path.exists(old)
+    # crash after final->old, before staging->final: live missing
+    spark.range(11).write.parquet(staging)
+    os.rename(final, old)
+    _recover_swap(spark, final)
+    assert spark.read.parquet(final).count() == 11  # staging was complete
+    # crash with INCOMPLETE staging (no _SUCCESS): old is restored
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-00000.parquet"), "wb").close()
+    os.rename(final, old)
+    _recover_swap(spark, final)
+    assert spark.read.parquet(final).count() == 11
+    assert not os.path.exists(staging)
+    # staging/old leftovers next to a healthy live dir are swept
+    spark.range(2).write.parquet(staging)
+    _recover_swap(spark, final)
+    assert not os.path.exists(staging)
+    assert spark.read.parquet(final).count() == 11
