@@ -550,6 +550,34 @@ ranked AS (
 SELECT probe_id, point_id, rank FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
 """
 
+# knn_grid oracle: exact kNN RESTRICTED to the operator's final search
+# window — Chebyshev distance <= 4 cells at zoom 9 (ring doubling 1->2->4
+# over expand_rounds=2).  For corpus probes whose global top-5 sit inside
+# the 3x3 ring (the fixture property) the cap changes nothing; for the
+# planted isolated probe it grades the PARTIAL-result contract exactly.
+_KG_TXP = mercator.TILE_X_SQL.format(lon="plon", z=9)
+_KG_TYP = mercator.TILE_Y_SQL.format(lat="plat", z=9)
+_KG_TXQ = mercator.TILE_X_SQL.format(lon="lon", z=9)
+_KG_TYQ = mercator.TILE_Y_SQL.format(lat="lat", z=9)
+SQL_KNN_GRID = f"""
+WITH base AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
+pts AS (SELECT * FROM base
+        UNION ALL SELECT CAST(9000001 AS BIGINT), 150.3, -40.1
+        UNION ALL SELECT CAST(9000002 AS BIGINT), 149.8, -39.7),
+probes AS (SELECT doc_id AS probe_id, lon AS plon, lat AS plat FROM base WHERE doc_id % 500 = 0
+           UNION ALL SELECT CAST(9000500 AS BIGINT), 150.0, -40.0),
+cand AS (
+  SELECT probe_id, doc_id AS point_id,
+         SQRT(POW((plon - lon) * COS(RADIANS((plat + lat) / 2.0)), 2) + POW(plat - lat, 2)) AS dist
+  FROM probes CROSS JOIN pts
+  WHERE ABS({_KG_TXP} - {_KG_TXQ}) <= 4 AND ABS({_KG_TYP} - {_KG_TYQ}) <= 4),
+ranked AS (
+  SELECT probe_id, point_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, point_id) AS rank
+  FROM cand)
+SELECT probe_id, point_id, rank FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+"""
+
 
 # ---------------------------------------------------------------------------
 # 13-19: text analysis + dedup
@@ -847,14 +875,25 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-KNN production path: cell-neighborhood candidate join + ring
-    expansion (knn.knn_join), graded against the exact-kNN SQL oracle.
-    zoom=9 chosen so the 3x3 cell neighborhood provably contains the true
-    top-5 for this corpus density (verified vs brute at sf0.001/0.01)."""
+    expansion (knn.knn_join), graded against the ring-capped exact-kNN SQL
+    oracle.  zoom=9 chosen so the 3x3 cell neighborhood provably contains
+    the true top-5 for this corpus density (verified vs brute at
+    sf0.001/0.01; for such probes the ring-4 cap changes nothing).  An
+    ISOLATED probe (mid-Pacific, 2 planted neighbors, nothing else within
+    the final ring) pins the partial-result contract: its rank-1..2 rows
+    must be PRESENT, not silently dropped (VERDICT r2 #4)."""
     g = _docs_geo(spark, sf_dir)
     probes = g.where(F.col("doc_id") % 500 == 0).select(
         F.col("doc_id").alias("probe_id"), "lon", "lat"
+    ).unionByName(spark.createDataFrame(
+        [(9000500, 150.0, -40.0)], "probe_id long, lon double, lat double"
+    ))
+    points = g.select(F.col("doc_id").alias("point_id"), "lon", "lat").unionByName(
+        spark.createDataFrame(
+            [(9000001, 150.3, -40.1), (9000002, 149.8, -39.7)],
+            "point_id long, lon double, lat double",
+        )
     )
-    points = g.select(F.col("doc_id").alias("point_id"), "lon", "lat")
     return (
         knn.knn_join(probes, points, k=5, zoom=9)
         .select("probe_id", "point_id", "rank")
@@ -1766,7 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_prune": _sql_polygon_prune(),
         "polygon_prune_edge": _sql_polygon_prune_edge(),
         "tile_bounds": _sql_tile_bounds(),
-        "knn_grid": SQL_KNN,
+        "knn_grid": SQL_KNN_GRID,
         "pip_join_cells": _sql_pip_join(),
         "pip_join_salted": _sql_pip_join(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

@@ -11,7 +11,9 @@ No counterpart in the reference (SURVEY.md §2.5); required by BASELINE.json
 
 Probes whose 3x3 neighborhood holds fewer than k points are re-run through
 a widened ring (iterative fallback, ``expand_rounds``); at production zoom
-choices (cell ~ expected kNN radius) the fallback triggers on <1% of probes.
+choices (cell ~ expected kNN radius) the fallback triggers on <1% of
+probes.  Probes still underfilled after the last ring return their partial
+(rank < k) rows rather than disappearing.
 
 ``knn_join_brute`` is the exact O(N*M) baseline used as the test oracle and
 for small dimension tables (broadcast).
@@ -71,6 +73,7 @@ def knn_join(
     remaining = pr
     results = None
     to_unpersist = []
+    last_ranked = None
     ring = 1
     for _ in range(expand_rounds + 1):
         # explode the (2r+1)^2 neighbor offsets — pure Column math
@@ -100,6 +103,7 @@ def knn_join(
                     F.count("*").over(Window.partitionBy(probe_id)).alias("_found"))
         ).persist()  # each round is consumed twice (full + under split)
         to_unpersist.append(ranked)
+        last_ranked = ranked
         full = ranked.where(F.col("_found") >= k).drop("_found")
         results = full if results is None else results.unionByName(full)
         # remaining = probes NOT yet satisfied, derived by anti-join against
@@ -114,8 +118,14 @@ def knn_join(
         ring *= 2
         if ring > (1 << zoom):
             break
-    # probes still underfilled after the last round are dropped (documented
-    # approximation; pick zoom so cell size ~ expected kNN radius).
+    # probes still underfilled after the last round return their PARTIAL
+    # top-(<k) rows (already computed in the final round's ranking) — a
+    # lookup API that silently dropped them was a foot-gun (VERDICT r2
+    # "What's wrong" #4).  Callers detect partials by max(rank) < k; a
+    # probe with zero candidates inside the largest ring has no rows.
+    if last_ranked is not None:
+        partial = last_ranked.where(F.col("_found") < k).drop("_found")
+        results = partial if results is None else results.unionByName(partial)
     results = results.persist()
     results.count()
     for df in to_unpersist:
