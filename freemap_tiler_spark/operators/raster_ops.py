@@ -139,19 +139,80 @@ def _lanczos_apply_axis0(
 
 
 def _inverse_map_source_px_2d(
-    tx: int, ty: int, zoom: int, t: int, gt: np.ndarray, from_merc,
+    tx: int, ty: int, zoom: int, t: int, gt: np.ndarray, from_merc, crs: str,
     block_x: int, block_y: int, w: int, h: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Generic (non-axis-aligned) CRS: full (t, t) fractional source-pixel
-    maps via the registered from_merc transform (functions/crs.py)."""
+    """Generic 2-D path: full (t, t) fractional source-pixel maps via the
+    registered from_merc transform (functions/crs.py) — or the native
+    3857/4326 formulas when ``from_merc`` is None (a ROTATED geo-transform
+    forces a native-CRS block through this path).  The affine is inverted
+    in full (2x2), so rotated/sheared geo-transforms are exact
+    (src/geo.rs layout; GDAL handles these via its generic transformer)."""
     span = mercator.WORLD / (1 << zoom)
     mx = (tx + (np.arange(t) + 0.5) / t) * span - mercator.ORIGIN
     my = mercator.ORIGIN - (ty + (np.arange(t) + 0.5) / t) * span
     gmx, gmy = np.meshgrid(mx, my)
-    gx, gy = from_merc(gmx.ravel(), gmy.ravel())
-    sx = (gx.reshape(t, t) - gt[0]) / gt[1] - block_x * w - 0.5
-    sy = (gy.reshape(t, t) - gt[3]) / gt[5] - block_y * h - 0.5
-    return sx, sy
+    if from_merc is not None:
+        gx, gy = from_merc(gmx.ravel(), gmy.ravel())
+        gx, gy = gx.reshape(t, t), gy.reshape(t, t)
+    elif crs == "EPSG:4326":
+        gx = np.degrees(gmx / mercator.R)
+        gy = np.degrees(2.0 * np.arctan(np.exp(gmy / mercator.R)) - np.pi / 2.0)
+    else:
+        gx, gy = gmx, gmy
+    det = gt[1] * gt[5] - gt[2] * gt[4]
+    dx_, dy_ = gx - gt[0], gy - gt[3]
+    col = (gt[5] * dx_ - gt[2] * dy_) / det
+    row = (-gt[4] * dx_ + gt[1] * dy_) / det
+    return col - block_x * w - 0.5, row - block_y * h - 0.5
+
+
+def _jacobian_scale(m2: np.ndarray) -> float:
+    """Source pixels per target pixel for one component of a 2-D inverse
+    map: median row-norm of its Jacobian (hypot of the two target-axis
+    gradients) — exact for rotated warps where the per-axis diff alone
+    understates the kernel footprint (45-degree 2:1 gives sqrt2 + sqrt2
+    per axis, hypot = 2)."""
+    if m2.shape[0] < 2 or m2.shape[1] < 2:
+        return 1.0
+    du = np.abs(np.diff(m2, axis=1))
+    dv = np.abs(np.diff(m2, axis=0))
+    return float(np.median(np.hypot(du[:-1, :], dv[:, :-1])))
+
+
+def _lanczos_sample_2d(
+    img: np.ndarray, sx2: np.ndarray, sy2: np.ndarray, scx: float, scy: float
+) -> np.ndarray:
+    """Lanczos-3 sampling of (H, W, C) ``img`` at arbitrary fractional
+    source points (m, n): separable tap weights applied at non-separable
+    positions — GDAL's GRA_Lanczos shape for generic warps
+    (src/warp.rs:19,22-77).  Kernel axes stay source-aligned, stretched
+    per axis by the Jacobian-derived scales.  Row-chunked so the
+    (rows, n, taps_y, taps_x, C) gather stays ~64 MB."""
+    from freemap_tiler_spark.functions.resample import lanczos_kernel
+
+    h, w = img.shape[:2]
+    scx, scy = max(float(scx), 1.0), max(float(scy), 1.0)
+    supx, supy = 3.0 * scx, 3.0 * scy
+    ntx = int(np.ceil(2.0 * supx)) + 2
+    nty = int(np.ceil(2.0 * supy)) + 2
+    m, n = sx2.shape
+    out = np.empty((m, n, img.shape[2]), np.float32)
+    chunk = max(1, int(64e6 // max(n * ntx * nty * img.shape[2] * 4, 1)))
+    for r0 in range(0, m, chunk):
+        sxs = sx2[r0:r0 + chunk]
+        sys_ = sy2[r0:r0 + chunk]
+        xi = np.floor(sxs - supx).astype(np.int64)[..., None] + np.arange(ntx)
+        yi = np.floor(sys_ - supy).astype(np.int64)[..., None] + np.arange(nty)
+        kx = lanczos_kernel((xi - sxs[..., None]) / scx).astype(np.float32)
+        ky = lanczos_kernel((yi - sys_[..., None]) / scy).astype(np.float32)
+        kx /= kx.sum(-1, keepdims=True)
+        ky /= ky.sum(-1, keepdims=True)
+        g = img[np.clip(yi, 0, h - 1)[:, :, :, None],
+                np.clip(xi, 0, w - 1)[:, :, None, :]]
+        out[r0:r0 + chunk] = np.einsum("rnt,rns,rntsc->rnc", ky, kx, g,
+                                       optimize=True)
+    return out
 
 
 def warp_blocks_to_tiles(
@@ -185,9 +246,14 @@ def warp_blocks_to_tiles(
                 # None -> separable native paths (3857 identity / 4326)
                 from freemap_tiler_spark.functions import crs as crs_mod
                 pair = crs_mod.lookup_crs(row.crs)
-                # block corner coords -> 3857 bbox -> covered tiles
-                cx = gt[0] + (row.block_x * w + np.array([0.0, w])) * gt[1]
-                cy = gt[3] + (row.block_y * h + np.array([0.0, h])) * gt[5]
+                rotated = gt[2] != 0.0 or gt[4] != 0.0
+                use2d = pair is not None or rotated
+                # block corner coords (full affine: rotation-safe) ->
+                # 3857 bbox -> covered tiles
+                cs = row.block_x * w + np.array([0.0, w, 0.0, w])
+                rs = row.block_y * h + np.array([0.0, 0.0, h, h])
+                cx = gt[0] + cs * gt[1] + rs * gt[2]
+                cy = gt[3] + cs * gt[4] + rs * gt[5]
                 if pair is not None:
                     bx0, by0, bx1, by1 = crs_mod.densified_merc_bbox(
                         pair[0], cx.min(), cy.min(), cx.max(), cy.max()
@@ -212,27 +278,34 @@ def warp_blocks_to_tiles(
                 fb_x = unit / abs(gt[1])
                 fb_y = unit / abs(gt[5])
                 for ty in (range(max(ty0, 0), min(ty1, (1 << zoom) - 1) + 1)
-                           if pair is not None else ()):
+                           if use2d else ()):
                     for tx in range(max(tx0, 0), min(tx1, (1 << zoom) - 1) + 1):
-                        if pair is not None:
-                            # non-separable CRS: full 2-D map, bilinear
-                            # sample (2-D Lanczos needs an anisotropic
-                            # kernel — documented fallback)
-                            sx2, sy2 = _inverse_map_source_px_2d(
-                                tx, ty, zoom, t, gt, pair[1],
-                                row.block_x, row.block_y, w, h,
-                            )
-                            inb = (
-                                (sx2 >= -0.5) & (sx2 < w - 0.5)
-                                & (sy2 >= -0.5) & (sy2 < h - 0.5)
-                            )
-                            if not inb.any():
-                                continue
-                            yi2, xi2 = np.nonzero(inb)
-                            py0, py1 = int(yi2.min()), int(yi2.max()) + 1
-                            px0, px1 = int(xi2.min()), int(xi2.max()) + 1
-                            sxc2 = sx2[py0:py1, px0:px1]
-                            syc2 = sy2[py0:py1, px0:px1]
+                        # generic 2-D path (custom CRS and/or rotated
+                        # geo-transform): full inverse map per tile,
+                        # Lanczos default (src/warp.rs:19 — GRA_Lanczos
+                        # on ALL warps), bilinear/nearest selectable
+                        sx2, sy2 = _inverse_map_source_px_2d(
+                            tx, ty, zoom, t, gt,
+                            pair[1] if pair is not None else None, row.crs,
+                            row.block_x, row.block_y, w, h,
+                        )
+                        inb = (
+                            (sx2 >= -0.5) & (sx2 < w - 0.5)
+                            & (sy2 >= -0.5) & (sy2 < h - 0.5)
+                        )
+                        if not inb.any():
+                            continue
+                        yi2, xi2 = np.nonzero(inb)
+                        py0, py1 = int(yi2.min()), int(yi2.max()) + 1
+                        px0, px1 = int(xi2.min()), int(xi2.max()) + 1
+                        sxc2 = sx2[py0:py1, px0:px1]
+                        syc2 = sy2[py0:py1, px0:px1]
+                        if resampling == "nearest":
+                            piece = img[
+                                np.clip(np.rint(syc2).astype(int), 0, h - 1),
+                                np.clip(np.rint(sxc2).astype(int), 0, w - 1),
+                            ]
+                        elif resampling == "bilinear":
                             x0 = np.clip(np.floor(sxc2).astype(int), 0, w - 1)
                             y0 = np.clip(np.floor(syc2).astype(int), 0, h - 1)
                             x1 = np.clip(x0 + 1, 0, w - 1)
@@ -245,16 +318,20 @@ def warp_blocks_to_tiles(
                                 + img[y1, x0] * fy2 * (1 - fx2)
                                 + img[y1, x1] * fy2 * fx2
                             )
-                            piece = np.clip(np.rint(piece), 0, 255).astype(np.uint8)
-                            piece[~inb[py0:py1, px0:px1]] = 0
-                            o_c.append(int(cells.np_cell(zoom, tx, ty)))
-                            o_x0.append(px0)
-                            o_y0.append(py0)
-                            o_w.append(px1 - px0)
-                            o_h.append(py1 - py0)
-                            o_p.append(piece.tobytes())
-                            continue
-                if pair is not None:
+                        else:  # lanczos: anisotropic 2-D (Jacobian scales)
+                            piece = _lanczos_sample_2d(
+                                img, sxc2, syc2,
+                                _jacobian_scale(sx2), _jacobian_scale(sy2),
+                            )
+                        piece = np.clip(np.rint(piece), 0, 255).astype(np.uint8)
+                        piece[~inb[py0:py1, px0:px1]] = 0
+                        o_c.append(int(cells.np_cell(zoom, tx, ty)))
+                        o_x0.append(px0)
+                        o_y0.append(py0)
+                        o_w.append(px1 - px0)
+                        o_h.append(py1 - py0)
+                        o_p.append(piece.tobytes())
+                if use2d:
                     continue  # 2-D tiles emitted above; next block
                 # --- separable megatile warp (src/processor.rs:327-451):
                 # resample the block ONCE over its whole covered target
