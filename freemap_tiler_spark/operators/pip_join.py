@@ -70,6 +70,37 @@ def points_in_polygon(
     return inside
 
 
+def _segments_hit_rects(
+    p1x: np.ndarray, p1y: np.ndarray, p2x: np.ndarray, p2y: np.ndarray,
+    lon0: np.ndarray, lat0: np.ndarray, lon1: np.ndarray, lat1: np.ndarray,
+) -> np.ndarray:
+    """(rects,) bool: does ANY segment (E,) intersect each SOLID
+    axis-aligned rect (N,)?  Vectorized Liang-Barsky: clip the segment
+    parameter range [0, 1] against the 4 slabs; nonempty remainder == hit.
+    Zero-extent axes (vertical/horizontal/point segments) fall out of the
+    same formula by substituting an infinite t-range when the fixed
+    coordinate lies in the slab and an empty one when it doesn't."""
+    dx = (p2x - p1x)[None, :]
+    dy = (p2y - p1y)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tax = (lon0[:, None] - p1x[None, :]) / dx
+        tbx = (lon1[:, None] - p1x[None, :]) / dx
+        tay = (lat0[:, None] - p1y[None, :]) / dy
+        tby = (lat1[:, None] - p1y[None, :]) / dy
+    inf = np.inf
+    zx = dx == 0
+    in_x = (p1x[None, :] >= lon0[:, None]) & (p1x[None, :] <= lon1[:, None])
+    tx_lo = np.where(zx, np.where(in_x, -inf, inf), np.minimum(tax, tbx))
+    tx_hi = np.where(zx, np.where(in_x, inf, -inf), np.maximum(tax, tbx))
+    zy = dy == 0
+    in_y = (p1y[None, :] >= lat0[:, None]) & (p1y[None, :] <= lat1[:, None])
+    ty_lo = np.where(zy, np.where(in_y, -inf, inf), np.minimum(tay, tby))
+    ty_hi = np.where(zy, np.where(in_y, inf, -inf), np.maximum(tay, tby))
+    t0 = np.maximum(0.0, np.maximum(tx_lo, ty_lo))
+    t1 = np.minimum(1.0, np.minimum(tx_hi, ty_hi))
+    return (t0 <= t1).any(axis=1)
+
+
 def collect_polygons(polygons: DataFrame) -> list[dict]:
     """Driver-side collect of a SMALL polygon layer into broadcastable form:
     [{poly_id, tag, rings: [(xs, ys), ...], bbox: (x0,y0,x1,y1)}]."""
@@ -145,34 +176,108 @@ def pip_join_broadcast(
     return points.mapInPandas(_match, schema)
 
 
-def polygon_covering_cells(polygons: DataFrame, zoom: int) -> DataFrame:
-    """Explode each polygon to the cells (at ``zoom``) its bbox covers —
-    the P1 tile-coverage generator (src/main.rs:173-181) applied per row.
+def _cell_lonlat_bounds(x: np.ndarray, y: np.ndarray, zoom: int):
+    n = float(1 << zoom)
+    lon0 = x / n * 360.0 - 180.0
+    lon1 = (x + 1) / n * 360.0 - 180.0
+    lat1 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y / n))))
+    lat0 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (y + 1) / n))))
+    return lon0, lat0, lon1, lat1
 
-    Coordinates are lon/lat degrees.  Output: (poly_id, cell).
-    """
+
+def _hier_cover_one(
+    rings: list[tuple[np.ndarray, np.ndarray]], zoom: int, coarse_levels: int = 6
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hierarchical EXACT cover of one polygon at ``zoom``: (cells,
+    interior) arrays.  Quadtree descent from ``zoom - coarse_levels``:
+    each frontier cell is classified exactly (center-in-polygon +
+    Liang-Barsky boundary-segment test) as outside (dropped — the bbox
+    meshgrid emitted these for nothing), INTERIOR (expanded to its 4^dz
+    descendants with no further tests; these skip the join-time ray-cast),
+    or boundary (split and recursed).  Work is O(perimeter-cells x edges)
+    instead of O(bbox-cells x edges) — the continent-at-z10+ fix from
+    VERDICT r2 (pip_join.py cover-explosion note)."""
+    e1x = np.concatenate([r[0] for r in rings])
+    e1y = np.concatenate([r[1] for r in rings])
+    e2x = np.concatenate([np.roll(r[0], -1) for r in rings])
+    e2y = np.concatenate([np.roll(r[1], -1) for r in rings])
+    z0 = max(zoom - coarse_levels, 0)
+    tx0, ty1 = mercator.np_lonlat_to_tile(e1x.min(), e1y.min(), z0)
+    tx1, ty0 = mercator.np_lonlat_to_tile(e1x.max(), e1y.max(), z0)
+    gx, gy = np.meshgrid(
+        np.arange(int(tx0), int(tx1) + 1), np.arange(int(ty0), int(ty1) + 1)
+    )
+    fx, fy = gx.ravel().astype(np.int64), gy.ravel().astype(np.int64)
+    out_c: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    for z in range(z0, zoom + 1):
+        if len(fx) == 0:
+            break
+        lon0, lat0, lon1, lat1 = _cell_lonlat_bounds(fx, fy, z)
+        hit = np.zeros(len(fx), dtype=bool)
+        for r0 in range(0, len(fx), 4096):
+            sl = slice(r0, r0 + 4096)
+            hit[sl] = _segments_hit_rects(
+                e1x, e1y, e2x, e2y, lon0[sl], lat0[sl], lon1[sl], lat1[sl]
+            )
+        inside = points_in_polygon((lon0 + lon1) / 2.0, (lat0 + lat1) / 2.0, rings)
+        interior = inside & ~hit
+        if interior.any():  # expand straight to the target zoom
+            dz = zoom - z
+            k = np.int64(1) << dz
+            ix, iy = fx[interior], fy[interior]
+            cx = (ix[:, None, None] * k + np.arange(k)[None, :, None])
+            cy = (iy[:, None, None] * k + np.arange(k)[None, None, :])
+            cx, cy = np.broadcast_arrays(cx, cy)
+            c = cells.np_cell(zoom, cx.ravel(), cy.ravel())
+            out_c.append(c)
+            out_i.append(np.ones(len(c), dtype=bool))
+        bx, by = fx[hit], fy[hit]
+        if z == zoom:
+            c = cells.np_cell(zoom, bx, by)
+            out_c.append(c)
+            out_i.append(np.zeros(len(c), dtype=bool))
+            break
+        fx = np.repeat(bx * 2, 4) + np.tile(np.array([0, 1, 0, 1]), len(bx))
+        fy = np.repeat(by * 2, 4) + np.tile(np.array([0, 0, 1, 1]), len(by))
+    if not out_c:
+        return np.array([], dtype=np.int64), np.array([], dtype=bool)
+    return np.concatenate(out_c), np.concatenate(out_i)
+
+
+def polygon_covering_cells(polygons: DataFrame, zoom: int) -> DataFrame:
+    """Explode each polygon to EXACTLY the cells (at ``zoom``) it
+    intersects — the P1 tile-coverage generator (src/main.rs:173-181)
+    upgraded from a bbox meshgrid to a hierarchical quadtree cover (see
+    _hier_cover_one).  Output: (poly_id, cell, interior); ``interior``
+    rows are fully inside the polygon, so the join-time exact ray-cast
+    can be skipped for their matches."""
 
     def _cover(pdf: pd.DataFrame) -> pd.DataFrame:
-        pids, ccells = [], []
+        pids, ccells, ints = [], [], []
         for pid, g in pdf.groupby("poly_id"):
-            xs = np.concatenate([np.asarray(v, float) for v in g["xs"]])
-            ys = np.concatenate([np.asarray(v, float) for v in g["ys"]])
-            tx0, ty1 = mercator.np_lonlat_to_tile(xs.min(), ys.min(), zoom)
-            tx1, ty0 = mercator.np_lonlat_to_tile(xs.max(), ys.max(), zoom)
-            gx, gy = np.meshgrid(
-                np.arange(int(tx0), int(tx1) + 1), np.arange(int(ty0), int(ty1) + 1)
-            )
-            c = cells.np_cell(zoom, gx.ravel(), gy.ravel())
+            g = g.sort_values("ring_idx")
+            rings = [
+                (np.asarray(x, float), np.asarray(y, float))
+                for x, y in zip(g["xs"], g["ys"])
+            ]
+            c, inter = _hier_cover_one(rings, zoom)
             pids.append(np.full(len(c), pid, dtype=np.int64))
             ccells.append(c)
+            ints.append(inter)
         if not pids:
-            return pd.DataFrame({"poly_id": [], "cell": []}).astype("int64")
+            return pd.DataFrame(
+                {"poly_id": pd.array([], dtype="int64"),
+                 "cell": pd.array([], dtype="int64"),
+                 "interior": pd.array([], dtype="bool")}
+            )
         return pd.DataFrame(
-            {"poly_id": np.concatenate(pids), "cell": np.concatenate(ccells)}
+            {"poly_id": np.concatenate(pids), "cell": np.concatenate(ccells),
+             "interior": np.concatenate(ints)}
         )
 
     return polygons.groupBy("poly_id").applyInPandas(
-        lambda _k, pdf: _cover(pdf), "poly_id long, cell long"
+        lambda _k, pdf: _cover(pdf), "poly_id long, cell long, interior boolean"
     )
 
 
@@ -214,23 +319,27 @@ def pip_join_cells(
         cover = cover.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         )
-        rings = polygons.orderBy("ring_idx").groupBy("poly_id").agg(
-            F.collect_list("xs").alias("all_xs"),
-            F.collect_list("ys").alias("all_ys"),
-            F.first("tag").alias("tag"),
-        )
-        cand = (
-            pts.join(cover, ["cell", "_salt"]).drop("cell", "_salt").join(rings, "poly_id")
-        )
-        return _pip_exact_raycast(cand, points, x_col, y_col)
+        matched = pts.join(cover, ["cell", "_salt"]).drop("cell", "_salt")
+    else:
+        matched = pts.join(cover, "cell").drop("cell")
+    # interior-cell matches are inside BY CONSTRUCTION (the quadtree cover
+    # proved the whole cell inside): no ray-cast, just attach the tag.
+    # Boundary-cell matches get the exact even-odd verify.
+    out_cols = list(points.schema.fieldNames()) + ["poly_id", "tag"]
+    tags = polygons.groupBy("poly_id").agg(F.first("tag").alias("tag"))
+    inner = (
+        matched.where(F.col("interior"))
+        .join(F.broadcast(tags), "poly_id")
+        .select(*out_cols)
+    )
     # rings aggregated to ONE row per polygon (outer + holes as array<array>)
     rings = polygons.orderBy("ring_idx").groupBy("poly_id").agg(
         F.collect_list("xs").alias("all_xs"),
         F.collect_list("ys").alias("all_ys"),
         F.first("tag").alias("tag"),
     )
-    cand = pts.join(cover, "cell").drop("cell").join(rings, "poly_id")
-    return _pip_exact_raycast(cand, points, x_col, y_col)
+    cand = matched.where(~F.col("interior")).drop("interior").join(rings, "poly_id")
+    return _pip_exact_raycast(cand, points, x_col, y_col).unionByName(inner)
 
 
 def _pip_exact_raycast(

@@ -45,6 +45,12 @@ def rasterize_polygons(
         for pdf in batches:
             pids, ccs, masks = [], [], []
             for row in pdf.itertuples(index=False):
+                if getattr(row, "interior", False):
+                    # quadtree-proven interior cell: full mask, no ray-cast
+                    pids.append(row.poly_id)
+                    ccs.append(row.cell)
+                    masks.append(np.full((t, t), 255, np.uint8).tobytes())
+                    continue
                 z, x, y = cells.np_cell_zxy(np.array([row.cell]))
                 n = float(1 << int(z[0]))
                 # pixel-center lon/lat grid of this tile

@@ -31,43 +31,12 @@ from freemap_tiler_spark.functions import cells
 from freemap_tiler_spark.functions.mercator import np_merc_to_lonlat
 from freemap_tiler_spark.operators import pyramid as P
 from freemap_tiler_spark.operators import raster_ops
-from freemap_tiler_spark.operators.pip_join import points_in_polygon
+from freemap_tiler_spark.operators.pip_join import _segments_hit_rects, points_in_polygon
 from freemap_tiler_spark.plans import lineage as L
 from freemap_tiler_spark.plans import store
 from freemap_tiler_spark.plans.metrics import MetricsSink
 from freemap_tiler_spark.sources.geojson import parse_geojson_polygon
 from freemap_tiler_spark.sources.raster_blocks import source_bbox
-
-
-def _segments_hit_rects(
-    p1x: np.ndarray, p1y: np.ndarray, p2x: np.ndarray, p2y: np.ndarray,
-    lon0: np.ndarray, lat0: np.ndarray, lon1: np.ndarray, lat1: np.ndarray,
-) -> np.ndarray:
-    """(tiles,) bool: does ANY segment (E,) intersect each SOLID axis-aligned
-    rect (N,)?  Vectorized Liang-Barsky: clip the segment parameter range
-    [0, 1] against the 4 slabs; nonempty remainder == hit.  Zero-extent
-    axes (vertical/horizontal/point segments) fall out of the same formula
-    by substituting an infinite t-range when the fixed coordinate lies in
-    the slab and an empty one when it doesn't."""
-    dx = (p2x - p1x)[None, :]
-    dy = (p2y - p1y)[None, :]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        tax = (lon0[:, None] - p1x[None, :]) / dx
-        tbx = (lon1[:, None] - p1x[None, :]) / dx
-        tay = (lat0[:, None] - p1y[None, :]) / dy
-        tby = (lat1[:, None] - p1y[None, :]) / dy
-    inf = np.inf
-    zx = dx == 0
-    in_x = (p1x[None, :] >= lon0[:, None]) & (p1x[None, :] <= lon1[:, None])
-    tx_lo = np.where(zx, np.where(in_x, -inf, inf), np.minimum(tax, tbx))
-    tx_hi = np.where(zx, np.where(in_x, inf, -inf), np.maximum(tax, tbx))
-    zy = dy == 0
-    in_y = (p1y[None, :] >= lat0[:, None]) & (p1y[None, :] <= lat1[:, None])
-    ty_lo = np.where(zy, np.where(in_y, -inf, inf), np.minimum(tay, tby))
-    ty_hi = np.where(zy, np.where(in_y, inf, -inf), np.maximum(tay, tby))
-    t0 = np.maximum(0.0, np.maximum(tx_lo, ty_lo))
-    t1 = np.minimum(1.0, np.minimum(tx_hi, ty_hi))
-    return (t0 <= t1).any(axis=1)
 
 
 def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:

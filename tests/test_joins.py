@@ -105,3 +105,45 @@ def test_knn_isolated_probe_ring_expansion(spark):
     got = {r.probe_id for r in out.select("probe_id").distinct().collect()}
     assert got == {1, 2}
     assert out.where(F.col("probe_id") == 2).count() == 3
+
+
+def test_hierarchical_cover_exact_and_smaller(spark):
+    """Quadtree cover: (a) cover-cell count for a diagonal fixture drops
+    >= 3x vs the bbox meshgrid; (b) the pip join output is identical to
+    the broadcast (exact) path; (c) interior+boundary classification is
+    sound (interior cells' centers+corners all inside)."""
+    import numpy as np
+
+    from freemap_tiler_spark.functions import mercator
+    from freemap_tiler_spark.operators import pip_join as PJ
+
+    # long thin diagonal quad: bbox cover is mostly empty
+    xs = [14.0, 14.6, 22.0, 21.4]
+    ys = [46.0, 45.7, 51.0, 51.3]
+    polys = spark.createDataFrame([(1, 0, xs, ys, "diag")], PJ.POLYGON_SCHEMA)
+    zoom = 10
+    cover = PJ.polygon_covering_cells(polys, zoom).collect()
+    tx0, ty1 = mercator.np_lonlat_to_tile(min(xs), min(ys), zoom)
+    tx1, ty0 = mercator.np_lonlat_to_tile(max(xs), max(ys), zoom)
+    bbox_cells = (int(tx1) - int(tx0) + 1) * (int(ty1) - int(ty0) + 1)
+    assert len(cover) * 3 <= bbox_cells, (len(cover), bbox_cells)
+    # classification soundness
+    rings = [(np.asarray(xs, float), np.asarray(ys, float))]
+    for r in cover:
+        if r.interior:
+            from freemap_tiler_spark.functions import cells as C
+            _, x, y = C.np_cell_zxy(np.array([r.cell]))
+            lon0, lat0, lon1, lat1 = PJ._cell_lonlat_bounds(
+                x.astype(np.int64), y.astype(np.int64), zoom)
+            px = np.array([lon0[0], lon1[0], lon0[0], lon1[0], (lon0[0]+lon1[0])/2])
+            py = np.array([lat0[0], lat0[0], lat1[0], lat1[0], (lat0[0]+lat1[0])/2])
+            assert PJ.points_in_polygon(px, py, rings).all()
+    # join parity vs broadcast exact path
+    g = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(14.0) + F.pmod(F.xxhash64("id"), 8000) / 1000.0).alias("lon"),
+        (F.lit(45.5) + F.pmod(F.xxhash64("id", "id"), 6000) / 1000.0).alias("lat"),
+    )
+    a = {(r.doc_id, r.poly_id) for r in PJ.pip_join_cells(g, polys, zoom=zoom).collect()}
+    b = {(r.doc_id, r.poly_id) for r in PJ.pip_join_broadcast(g, polys).collect()}
+    assert a == b and len(a) > 50
