@@ -171,8 +171,15 @@ def test_full_pipeline_with_resume_and_store(spark, blocks):
         assert meta["format"] == "png" and "limits" in meta
         # metrics written
         from freemap_tiler_spark.plans.metrics import MetricsSink
-        summary = {r.stage for r in MetricsSink(spark, root).summary().collect()}
+        sink = MetricsSink(spark, root)
+        summary = {r.stage for r in sink.summary().collect()}
         assert {"rasterize", "compose", "encode_write", "metadata"} <= summary
+        # live progress (A4): >= 1 row per stage (the guaranteed final
+        # 100% tick; the 10-s poller adds more on long stages)
+        prog = sink.read_progress().groupBy("stage").count().collect()
+        got = {r.stage: r["count"] for r in prog}
+        assert all(got.get(s, 0) >= 1
+                   for s in ("rasterize", "compose", "encode_write", "metadata"))
         # rerun == resume: counts unchanged
         counts2 = run_tiler(
             spark, blocks, root, max_zoom=9, min_zoom=6, tile_size=32,
