@@ -94,10 +94,15 @@ def minhash_lsh_pairs(
     Hot-bucket guard: a degenerate bucket of k near-identical docs would
     emit k^2/2 pairs from ONE task (AQE splits the shuffle, not the
     quadratic pair count).  Buckets larger than ``max_bucket_size`` switch
-    to a star pattern — every member pairs with the bucket's min id — which
-    keeps the bucket's docs in one connected dedup component at O(k) pairs.
-    (Documented approximation: non-star pairs of an over-size bucket are
-    not emitted; for dedup clustering the star is sufficient.)
+    to O(k) pairs: a star around the bucket's min id PLUS a chain linking
+    members consecutively in full-minhash-signature order.  The star keeps
+    the bucket one connected component; the chain matters when a mixed
+    over-size bucket (band collision, not true dups) meets a downstream
+    Jaccard verify — star-only edges to a dissimilar representative could
+    all fail the verify and disconnect members whose true near-dup pairs
+    were never emitted, while signature-sorted neighbors are the most
+    similar available pairs and survive.  (Documented approximation:
+    other pairs of an over-size bucket are still not emitted.)
     """
     r = num_hashes // bands
     # materialize the md5 shingle hashes ONCE as a column, then derive all
@@ -149,10 +154,24 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
     )
-    pairs_big = tagged.where(
+    pairs_star = tagged.where(
         (F.col("_n") > max_bucket_size) & (F.col("_id") != F.col("_rep"))
     ).select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
-    return pairs_small.unionByName(pairs_big).distinct()
+    # chain: consecutive members in full-signature order (see docstring)
+    from pyspark.sql import Window
+
+    big = tagged.where(F.col("_n") > max_bucket_size).select("_id", "band", "bucket")
+    big_sig = big.join(sig, "_id")
+    wchain = Window.partitionBy("band", "bucket").orderBy(
+        *[f"_h{i}" for i in range(num_hashes)], "_id"
+    )
+    chained = big_sig.withColumn("_prev", F.lag("_id").over(wchain)).where(
+        F.col("_prev").isNotNull()
+    )
+    pairs_chain = chained.select(
+        F.least("_prev", "_id").alias("id_a"), F.greatest("_prev", "_id").alias("id_b")
+    )
+    return pairs_small.unionByName(pairs_star).unionByName(pairs_chain).distinct()
 
 
 def jaccard_verify(

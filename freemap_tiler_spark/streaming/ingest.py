@@ -65,26 +65,53 @@ def streaming_tile_counts(
     )
 
 
-def streaming_first_seen(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """First-seen-wins streaming exact dedup, keyed on the md5 fingerprint
-    of the text — a CUSTOM stateful operator via applyInPandasWithState
+def streaming_first_seen(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    state_ttl: str | None = "24 hours",
+) -> DataFrame:
+    """First-seen-wins streaming dedup, keyed on the md5 fingerprint of
+    the text — a CUSTOM stateful operator via applyInPandasWithState
     (state = one boolean per fingerprint; rows after the first are
-    dropped).  Emits (fingerprint, url, warc_ts) of first occurrences."""
+    dropped).  Emits (fingerprint, url, warc_ts) of first occurrences.
+
+    State lifetime: with the default ``state_ttl``, each fingerprint's
+    state is dropped via EventTimeTimeout once the watermark passes
+    last-seen + TTL — the state store stays bounded on a continuous
+    stream, at the cost that a duplicate arriving more than TTL after its
+    original is re-emitted (the standard streaming-dedup trade).
+    ``state_ttl=None`` keeps EXACT first-seen semantics, which
+    necessarily requires unbounded state (one entry per distinct
+    fingerprint, forever) — the declared watermark alone never expires
+    applyInPandasWithState state."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = (
+        int(pd.Timedelta(state_ttl).total_seconds() * 1000) if state_ttl else None
+    )
     keyed = (
         stream.withColumn("fingerprint", T.md5_fingerprint(F.col("text")))
         .withWatermark("warc_ts", watermark)
         .groupBy("fingerprint")
     )
+    empty = pd.DataFrame({"fingerprint": [], "url": [], "warc_ts": []})
+
+    def _arm(state: GroupState) -> None:
+        if ttl_ms is not None:
+            # sliding TTL: must be strictly beyond the current watermark
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms + 1)
 
     def _first(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
         if state.exists:
-            # fingerprint already emitted in an earlier batch: drain input
-            for _ in pdfs:
+            for _ in pdfs:  # already emitted: drain input, extend TTL
                 pass
-            yield pd.DataFrame({"fingerprint": [], "url": [], "warc_ts": []})
+            _arm(state)
+            yield empty
             return
         first_row = None
         for pdf in pdfs:
@@ -92,9 +119,10 @@ def streaming_first_seen(stream: DataFrame, watermark: str = "1 hour") -> DataFr
             if len(pdf) and first_row is None:
                 first_row = pdf.iloc[0]
         if first_row is None:
-            yield pd.DataFrame({"fingerprint": [], "url": [], "warc_ts": []})
+            yield empty
             return
         state.update((1,))
+        _arm(state)
         yield pd.DataFrame(
             {
                 "fingerprint": [key[0]],
@@ -108,7 +136,11 @@ def streaming_first_seen(stream: DataFrame, watermark: str = "1 hour") -> DataFr
         outputStructType="fingerprint long, url string, warc_ts timestamp",
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -65,8 +65,9 @@ def test_ann_subset_quality(spark, sf_dir):
 
 def test_lsh_hot_bucket_star_cap(spark):
     """A planted bucket of 2000 identical docs must NOT emit O(k^2) pairs:
-    over-size buckets switch to a star around the min id (O(k) pairs,
-    same connected dedup component)."""
+    over-size buckets emit a star around the min id PLUS a signature-
+    sorted chain (O(k) total; the chain keeps similar neighbors connected
+    through a downstream Jaccard verify even if star edges fail)."""
     n = 2000
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"),
@@ -74,9 +75,12 @@ def test_lsh_hot_bucket_star_cap(spark):
     )
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket_size=64)
     rows = pairs.collect()
-    assert len(rows) == n - 1           # star: one pair per non-representative
-    assert all(r.id_a == 0 for r in rows)
-    assert {r.id_b for r in rows} == set(range(1, n))
+    star = {(r.id_a, r.id_b) for r in rows if r.id_a == 0}
+    chain = {(r.id_a, r.id_b) for r in rows if r.id_a != 0}
+    assert star == {(0, i) for i in range(1, n)}       # full star
+    # identical sigs -> chain order falls back to _id: consecutive links
+    assert chain == {(i, i + 1) for i in range(1, n - 1)}
+    assert len(rows) == 2 * n - 3                       # O(k), not O(k^2)
 
 
 def test_sample_frames_plumbing(spark):
