@@ -254,18 +254,47 @@ def ivf_build_centroids(
     )
     cents = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    n_c = len(cents)
+
+    def _partials(batches):
+        # per-Arrow-batch partial sums: (centroid_id, sum-vector, count) —
+        # one numpy scatter-add per batch, plan width O(1) in dim (the
+        # r2 per-dim F.sum(element_at) agg carried `dim` expressions)
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
+            cid = pdf["centroid_id"].to_numpy()
+            acc = np.zeros((n_c, dim))
+            np.add.at(acc, cid, v)
+            cnt = np.bincount(cid, minlength=n_c)
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {"centroid_id": nz.astype(np.int32), "s": list(acc[nz]),
+                 "n": cnt[nz].astype(np.int64)}
+            )
+
     for _ in range(lloyd_iters):
         assigned = ivf_assign(corpus, cents, corpus_id, vec_col)
-        sums = assigned.groupBy("centroid_id").agg(
-            *[F.sum(F.element_at(F.col(vec_col), j + 1)).alias(f"s{j}") for j in range(dim)],
-            F.count("*").alias("n"),
+        parts = assigned.select("centroid_id", vec_col).mapInPandas(
+            _partials, "centroid_id int, s array<double>, n long"
         ).collect()
+        # driver-side fold of the (arrow-batches x centroids) partial rows
+        # — the treeAggregate shape; a few KB per batch regardless of
+        # corpus size
+        acc = np.zeros((n_c, dim))
+        cnt = np.zeros(n_c, dtype=np.int64)
+        for r in parts:
+            acc[int(r["centroid_id"])] += np.asarray(r["s"], dtype=np.float64)
+            cnt[int(r["centroid_id"])] += r["n"]
         nxt = cents.copy()
-        for r in sums:
-            v = np.array([r[f"s{j}"] for j in range(dim)], dtype=np.float64) / r["n"]
-            n = np.linalg.norm(v)
-            if n > 1e-12:
-                nxt[int(r["centroid_id"])] = v / n
+        for ci in np.nonzero(cnt)[0]:
+            v = acc[ci] / cnt[ci]
+            nm = np.linalg.norm(v)
+            if nm > 1e-12:
+                nxt[ci] = v / nm
         cents = nxt
     return [[float(x) for x in row] for row in cents]
 
