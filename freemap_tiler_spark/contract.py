@@ -1465,6 +1465,80 @@ GEOJSON_FIXTURE = {
 }
 
 
+def q_sector_in_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F4 cell bit-math: per doc cell at z10 — ancestor(2)'s x/y,
+    the 4x4 sector position inside that ancestor, and the child index
+    inside the parent (morton: x even bits, y odd bits => cell&3 =
+    (x&1) + 2*(y&1)) — all pure Column arithmetic vs the same integer
+    laws restated on DuckDB tile coords."""
+    g = _docs_geo(spark, sf_dir)
+    c = cells.cell(
+        F.lit(10),
+        mercator.tile_x(F.col("lon"), F.lit(10)),
+        mercator.tile_y(F.col("lat"), F.lit(10)),
+    )
+    return g.select(
+        "doc_id",
+        cells.cell_x(cells.ancestor(c, 2)).alias("ax"),
+        cells.cell_y(cells.ancestor(c, 2)).alias("ay"),
+        cells.sector_in_ancestor_x(c, 2).alias("sx"),
+        cells.sector_in_ancestor_y(c, 2).alias("sy"),
+        cells.child_index(c).alias("ci"),
+    ).orderBy("doc_id")
+
+
+def _sql_sector_in_ancestor() -> str:
+    tx = mercator.TILE_X_SQL.format(lon="lon", z=10)
+    ty = mercator.TILE_Y_SQL.format(lat="lat", z=10)
+    return f"""
+WITH p AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
+t AS (SELECT doc_id, {tx} AS tx, {ty} AS ty FROM p)
+SELECT doc_id, tx // 4 AS ax, ty // 4 AS ay,
+       tx % 4 AS sx, ty % 4 AS sy,
+       (tx % 2) + 2 * (ty % 2) AS ci
+FROM t ORDER BY doc_id
+"""
+
+
+def q_reproject_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 polygon reprojection 4326 -> 3857 (src/geojson.rs:44-55):
+    per-ring vertex count + coordinate sums in MILLIMETERS (integer,
+    huge margin over cross-engine libm ULP differences) vs the same
+    spherical-mercator formulas in DuckDB SQL."""
+    from freemap_tiler_spark.sources.geojson import (
+        parse_geojson_polygon,
+        polygon_df,
+        reproject_rings_3857,
+    )
+
+    rings = reproject_rings_3857(parse_geojson_polygon(GEOJSON_FIXTURE))
+    df = polygon_df(spark, rings)
+    mm = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda v: F.round(v * 1000.0).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return df.select(
+        "ring_idx",
+        F.size("xs").alias("n_vertices"),
+        mm("xs").alias("sum_x_mm"),
+        mm("ys").alias("sum_y_mm"),
+    ).orderBy("ring_idx")
+
+
+def _sql_reproject_rings() -> str:
+    from freemap_tiler_spark.functions.mercator import R
+
+    parts = []
+    for idx, ring in enumerate(GEOJSON_FIXTURE["coordinates"]):
+        vals = ", ".join(f"({p[0]!r}, {p[1]!r})" for p in ring)
+        parts.append(f"""
+SELECT {idx} AS ring_idx, COUNT(*)::BIGINT AS n_vertices,
+       CAST(SUM(CAST(ROUND({R!r} * RADIANS(lon) * 1000.0) AS BIGINT)) AS BIGINT) AS sum_x_mm,
+       CAST(SUM(CAST(ROUND({R!r} * LN(TAN(PI() / 4.0 + RADIANS(lat) / 2.0)) * 1000.0) AS BIGINT)) AS BIGINT) AS sum_y_mm
+FROM (VALUES {vals}) AS v(lon, lat)""")
+    return " UNION ALL ".join(parts) + " ORDER BY ring_idx"
+
+
 def q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/F19 GeoJSON source: parse the outer+hole fixture into the polygon
     DataFrame; per-ring vertex count and coordinate sums in microdegrees
@@ -1744,6 +1818,8 @@ QUERIES = {
     "source_bbox": q_source_bbox,
     "incremental_update": q_incremental_update,
     "geojson_parse": q_geojson_parse,
+    "sector_in_ancestor": q_sector_in_ancestor,
+    "reproject_rings": q_reproject_rings,
     "mask_nodata": q_mask_nodata,
     "empty_markers": q_empty_markers,
     "polygon_prune": q_polygon_prune,
@@ -1800,6 +1876,8 @@ def oracle_sql() -> dict[str, str]:
         "source_bbox": _sql_source_bbox(),
         "incremental_update": _sql_raster_stats(),
         "geojson_parse": _sql_geojson_parse(),
+        "sector_in_ancestor": _sql_sector_in_ancestor(),
+        "reproject_rings": _sql_reproject_rings(),
         "mask_nodata": SQL_MASK_NODATA,
         "empty_markers": _sql_empty_markers(),
         "polygon_prune": _sql_polygon_prune(),
