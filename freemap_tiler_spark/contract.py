@@ -722,6 +722,106 @@ SELECT doc_id, {hs} FROM base ORDER BY doc_id
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole near-dup pairs (dedup.simhash_near_dups): the
+    blocked self-join must find EVERY pair at Hamming <= 3 (pigeonhole
+    over 4 blocks of a 16-bit simhash) — oracle = all-pairs bit_count
+    (xor) in SQL over the same planted-duplicate corpus, so a missed
+    block collision or a broken verify both fail the hash."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    planted = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        dedup.simhash_near_dups(planted, bits=16, max_hamming=3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    bits = " | ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(16)
+    )
+    return rf"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+all_docs AS (SELECT doc_id, text FROM base
+             UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0),
+tok AS (SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) w
+        FROM all_docs),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) h FROM tok),
+sh AS (SELECT doc_id, ({bits}) AS sh FROM h GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/P8/P9/F16-F17 codec laws over real rasterized tiles, folded to
+    one row: PNG roundtrip is byte-exact, the JPEG path's zstd alpha
+    sidecar is exact, JPEG color decode is pixel-close, QDCT decode error
+    is bounded by its quantization step.  Oracle = the SQL tile-count of
+    the z6 cover + literal TRUE flags (a codec regression flips a flag
+    and fails the hash)."""
+    g = _docs_geo(spark, sf_dir)
+    tiles = pyramid.rasterize_level(pyramid.assign_cells(g, "lon", "lat", 6), 16)
+
+    def _rt(batches):
+        import numpy as np
+        import pandas as pd
+
+        from freemap_tiler_spark.functions import codecs as C
+
+        for pdf in batches:
+            png_ok, alpha_ok, jpeg_ok, qdct_ok = [], [], [], []
+            for p in pdf["payload"]:
+                img = np.frombuffer(p, np.uint8).reshape(16, 16, 2)
+                d, a = C.encode_tile(img, "png")
+                png_ok.append(bool((C.decode_tile(d, a, "png") == img).all()))
+                dj, aj = C.encode_tile(img, "jpeg", 85)
+                dec = C.decode_tile(dj, aj, "jpeg")
+                alpha_ok.append(bool((dec[:, :, 1] == img[:, :, 1]).all()))
+                err = np.abs(dec[:, :, 0].astype(float) - img[:, :, 0])
+                jpeg_ok.append(bool(err.mean() <= 8.0))
+                dq, aq = C.encode_tile(img, "qdct", 85)
+                decq = C.decode_tile(dq, aq, "qdct")
+                eq = np.abs(decq[:, :, 0].astype(float) - img[:, :, 0])
+                qdct_ok.append(bool(eq.max() <= 3.0))
+            yield pd.DataFrame(
+                {"png_exact": png_ok, "alpha_exact": alpha_ok,
+                 "jpeg_close": jpeg_ok, "qdct_close": qdct_ok}
+            )
+
+    flags = tiles.mapInPandas(
+        _rt, "png_exact boolean, alpha_exact boolean,"
+             " jpeg_close boolean, qdct_close boolean"
+    )
+    return flags.agg(
+        F.count("*").alias("n_tiles"),
+        F.bool_and("png_exact").alias("png_exact"),
+        F.bool_and("alpha_exact").alias("alpha_exact"),
+        F.bool_and("jpeg_close").alias("jpeg_close"),
+        F.bool_and("qdct_close").alias("qdct_close"),
+    )
+
+
+def _sql_codec_roundtrip() -> str:
+    tx = mercator.TILE_X_SQL.format(lon="lon", z=6)
+    ty = mercator.TILE_Y_SQL.format(lat="lat", z=6)
+    return f"""
+WITH p AS (SELECT {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
+t AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM p)
+SELECT COUNT(*)::BIGINT AS n_tiles, TRUE AS png_exact, TRUE AS alpha_exact,
+       TRUE AS jpeg_close, TRUE AS qdct_close FROM t
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     return d.select("doc_id", dedup.simhash(F.col("text"), 16).alias("simhash")).orderBy(
@@ -1820,6 +1920,8 @@ QUERIES = {
     "geojson_parse": q_geojson_parse,
     "sector_in_ancestor": q_sector_in_ancestor,
     "reproject_rings": q_reproject_rings,
+    "simhash_pairs": q_simhash_pairs,
+    "codec_roundtrip": q_codec_roundtrip,
     "mask_nodata": q_mask_nodata,
     "empty_markers": q_empty_markers,
     "polygon_prune": q_polygon_prune,
@@ -1878,6 +1980,8 @@ def oracle_sql() -> dict[str, str]:
         "geojson_parse": _sql_geojson_parse(),
         "sector_in_ancestor": _sql_sector_in_ancestor(),
         "reproject_rings": _sql_reproject_rings(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "codec_roundtrip": _sql_codec_roundtrip(),
         "mask_nodata": SQL_MASK_NODATA,
         "empty_markers": _sql_empty_markers(),
         "polygon_prune": _sql_polygon_prune(),
