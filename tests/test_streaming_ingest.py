@@ -118,3 +118,50 @@ def test_streaming_pyramid_matches_batch(spark, tmp_path):
     want_df = P.build_pyramid(pts, max_zoom=6, min_zoom=0, tile_size=32)
     want = {r.cell: bytes(r.payload) for r in want_df.collect()}
     assert got == want
+
+
+def test_first_seen_ttl_expiry_reemits(spark, tmp_path):
+    """EventTimeTimeout TTL path: a duplicate arriving AFTER the TTL has
+    passed (watermark > last-seen + TTL) is re-emitted because its state
+    expired; a duplicate inside the TTL stays suppressed."""
+    import datetime as dt
+
+    d = str(tmp_path / "drops")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(u, ts, None, tx, "en") for u, ts, tx in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    # batch 1: A and B first seen at t0
+    drop([("u1", t0, "doc A"), ("u2", t0, "doc B")])
+    # batch 2 (event time t0+3h): dup of A (inside nothing yet - the
+    # watermark at batch 2 start is t0 - 10m, so A's state is alive ->
+    # suppressed), plus C (new). Watermark then advances to ~t0+2h50m.
+    drop([("u3", t0 + dt.timedelta(hours=3), "doc A"),
+          ("u4", t0 + dt.timedelta(hours=3), "doc C")])
+    # batch 3 (event time t0+9h): dup of B. By now the watermark
+    # (~t0+2h50m) is past B's state TTL (t0 + 2h) -> state expired -> B
+    # RE-emitted.
+    drop([("u5", t0 + dt.timedelta(hours=9), "doc B")])
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = SI.streaming_first_seen(stream, watermark="10 minutes", state_ttl="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .trigger(availableNow=True)
+        .format("memory").queryName("ttl_dedup").start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("ttl_dedup").collect()
+    urls = sorted(r.url for r in rows)
+    # u1 (A first), u2 (B first), u4 (C first), u5 (B re-emitted after
+    # TTL); u3 (A dup inside TTL) suppressed
+    assert urls == ["u1", "u2", "u4", "u5"], urls
