@@ -182,6 +182,23 @@ def main() -> None:
     rev = git_rev()
     small = best(n_small)
     big = best(n_big)
+    # cross-SIDE consistency: each side gates on its own trials, but the
+    # two sides run minutes apart and the host's contention is episodic —
+    # an efficiency ratio between a contended side and a clean side is
+    # meaningless.  Re-measure the worse-calibrated side (up to 2x) until
+    # the sandwich probes agree within 30%.
+    for _ in range(2):
+        lo, hi = sorted((small["calib_ms"], big["calib_ms"]))
+        if hi <= lo * 1.3:
+            break
+        if small["calib_ms"] > big["calib_ms"]:
+            cand = best(n_small)
+            if cand["calib_ms"] < small["calib_ms"]:
+                small = cand
+        else:
+            cand = best(n_big)
+            if cand["calib_ms"] < big["calib_ms"]:
+                big = cand
     small["rev"] = big["rev"] = rev
     eff_tiles = (big["tiles_per_sec"] / small["tiles_per_sec"]) / (n_big / n_small)
     eff_join = (big["join_rows_per_sec"] / small["join_rows_per_sec"]) / (n_big / n_small)
