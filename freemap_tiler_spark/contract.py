@@ -1411,32 +1411,39 @@ def _sql_edge_hits_box(x1: float, y1: float, x2: float, y2: float) -> str:
 
 
 def _sql_prune_poly(vx: list, vy: list) -> str:
+    # the prune runs in EPSG:3857 (the reference's Intersects space):
+    # vertices are reprojected HERE with the same numpy formulas the
+    # engine uses, so the SQL carries bit-identical double constants
+    import numpy as np
+
+    mvx, mvy = mercator.np_lonlat_to_merc(np.asarray(vx, float), np.asarray(vy, float))
+    mvx, mvy = [float(v) for v in mvx], [float(v) for v in mvy]
     tx0 = mercator.TILE_X_SQL.format(lon=min(vx), z=8)
     tx1 = mercator.TILE_X_SQL.format(lon=max(vx), z=8)
     ty0 = mercator.TILE_Y_SQL.format(lat=max(vy), z=8)
     ty1 = mercator.TILE_Y_SQL.format(lat=min(vy), z=8)
     n = len(vx)
     inside = " AND ".join(
-        f"(({vx[(i + 1) % n]!r} - {vx[i]!r}) * (py - {vy[i]!r}) - "
-        f"({vy[(i + 1) % n]!r} - {vy[i]!r}) * (px - {vx[i]!r})) > 0"
+        f"(({mvx[(i + 1) % n]!r} - {mvx[i]!r}) * (py - {mvy[i]!r}) - "
+        f"({mvy[(i + 1) % n]!r} - {mvy[i]!r}) * (px - {mvx[i]!r})) > 0"
         for i in range(n)
     )
     edge_hit = " OR ".join(
-        _sql_edge_hits_box(vx[i], vy[i], vx[(i + 1) % n], vy[(i + 1) % n])
+        _sql_edge_hits_box(mvx[i], mvy[i], mvx[(i + 1) % n], mvy[(i + 1) % n])
         for i in range(n)
     )
-    # tile lon/lat bbox; lat via the inverse-mercator sinh identity
-    lat_of = "degrees(atan((exp(pi() * (1.0 - {yy} / 128.0)) - exp(-pi() * (1.0 - {yy} / 128.0))) / 2.0))"
+    span = mercator.WORLD / 256.0  # z8 tile span, meters
+    org = mercator.ORIGIN
     return f"""
 WITH b AS (SELECT {tx0} AS tx0, {tx1} AS tx1, {ty0} AS ty0, {ty1} AS ty1),
 tiles AS (SELECT xs.x, ys.y FROM b,
           UNNEST(generate_series(tx0, tx1)) AS xs(x),
           UNNEST(generate_series(ty0, ty1)) AS ys(y)),
 boxed AS (SELECT x, y,
-                 x / 256.0 * 360.0 - 180.0 AS lon0,
-                 (x + 1) / 256.0 * 360.0 - 180.0 AS lon1,
-                 {lat_of.format(yy="(y + 1)")} AS lat0,
-                 {lat_of.format(yy="y")} AS lat1
+                 x * {span!r} - {org!r} AS lon0,
+                 (x + 1) * {span!r} - {org!r} AS lon1,
+                 {org!r} - (y + 1) * {span!r} AS lat0,
+                 {org!r} - y * {span!r} AS lat1
           FROM tiles),
 probes AS (
   SELECT x, y, lon0 + (lon1 - lon0) * fx AS px, lat0 + (lat1 - lat0) * fy AS py,

@@ -41,9 +41,11 @@ from freemap_tiler_spark.sources.raster_blocks import source_bbox
 
 def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:
     """J3/P2: keep tiles whose bounds rectangle intersects the polygon —
-    EXACT rect x polygon `Intersects` (reference src/main.rs:187-198):
-    keep iff (a) any probe point (center + 4 corners) is inside the
-    polygon (tile fully/partly covered), OR (b) any polygon boundary
+    EXACT rect x polygon `Intersects` in EPSG:3857, the reference's space
+    (src/main.rs:187-198 tests the tile's 3857 bounds against the
+    REPROJECTED polygon, whose edges are straight in meters, not in
+    degrees): keep iff (a) any probe point (center + 4 corners) is inside
+    the polygon (tile fully/partly covered), OR (b) any polygon boundary
     segment intersects the solid tile bbox (Liang-Barsky; subsumes
     vertex-in-bbox since segment endpoints are vertices).  (a) catches
     tile-inside-polygon, (b) catches polygon-inside-tile and every
@@ -54,30 +56,30 @@ def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:
 
     import pandas as pd
 
-    e1x, e1y, e2x, e2y = [], [], [], []
-    for xs, ys in rings_lonlat:
-        e1x.append(xs)
-        e1y.append(ys)
-        e2x.append(np.roll(xs, -1))
-        e2y.append(np.roll(ys, -1))
-    e1x, e1y = np.concatenate(e1x), np.concatenate(e1y)
-    e2x, e2y = np.concatenate(e2x), np.concatenate(e2y)
+    from freemap_tiler_spark.functions.mercator import ORIGIN, WORLD
+    from freemap_tiler_spark.sources.geojson import reproject_rings_3857
+
+    rings_m = reproject_rings_3857(rings_lonlat)
+    e1x = np.concatenate([r[0] for r in rings_m])
+    e1y = np.concatenate([r[1] for r in rings_m])
+    e2x = np.concatenate([np.roll(r[0], -1) for r in rings_m])
+    e2y = np.concatenate([np.roll(r[1], -1) for r in rings_m])
 
     def _keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             z, x, y = cells.np_cell_zxy(pdf["cell"].to_numpy())
-            n = (np.int64(1) << z).astype(float)
-            # tile lon/lat bbox
-            lon0 = x / n * 360.0 - 180.0
-            lon1 = (x + 1) / n * 360.0 - 180.0
-            lat1 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y / n))))
-            lat0 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (y + 1) / n))))
+            span = WORLD / (np.int64(1) << z).astype(float)
+            # tile 3857 bbox (exact closed form, doubles)
+            mx0 = x * span - ORIGIN
+            mx1 = (x + 1) * span - ORIGIN
+            my1 = ORIGIN - y * span
+            my0 = ORIGIN - (y + 1) * span
             keep = np.zeros(len(pdf), dtype=bool)
             # (a) probe: center + corners inside polygon
             for fx, fy in ((0.5, 0.5), (0, 0), (1, 0), (0, 1), (1, 1)):
-                px = lon0 + (lon1 - lon0) * fx
-                py = lat0 + (lat1 - lat0) * fy
-                keep |= points_in_polygon(px, py, rings_lonlat)
+                px = mx0 + (mx1 - mx0) * fx
+                py = my0 + (my1 - my0) * fy
+                keep |= points_in_polygon(px, py, rings_m)
             # (b) any boundary segment hits the tile bbox; edge-chunked so
             # (tiles x edges) temporaries stay bounded for huge polygons
             todo = ~keep
@@ -87,7 +89,7 @@ def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:
                 sl = slice(e0, e0 + 512)
                 hit = _segments_hit_rects(
                     e1x[sl], e1y[sl], e2x[sl], e2y[sl],
-                    lon0[todo], lat0[todo], lon1[todo], lat1[todo],
+                    mx0[todo], my0[todo], mx1[todo], my1[todo],
                 )
                 keep[np.nonzero(todo)[0][hit]] = True
                 todo = ~keep
