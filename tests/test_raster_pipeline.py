@@ -466,3 +466,21 @@ def test_warp_rotated_geotransform(spark):
     area = lit_px * span_px * span_px
     true_area = (w * 100.0) * (h * 100.0)  # |det| = 100^2 per px
     assert abs(area - true_area) / true_area < 0.08
+
+
+def test_megatile_banding_byte_identical(spark, monkeypatch):
+    """The peak-memory banding of the separable megatile warp must be
+    invisible: forcing tiny bands (many band loops, including the
+    Lanczos y-pass gathering rows per band) yields byte-identical tiles
+    to the effectively-unbanded default."""
+    df = raster_blocks(spark, grid=1, width=64, height=64, bands=2)
+
+    def run():
+        rows = raster_ops.warp_blocks_to_tiles(df, zoom=9, tile_size=32,
+                                               resampling="lanczos").collect()
+        return {r.cell: bytes(r.payload) for r in rows}
+
+    base = run()
+    monkeypatch.setattr(raster_ops, "MEGATILE_BAND_PX", 32 * 64)  # ~1 tile-row
+    banded = run()
+    assert base == banded and len(base) > 0
