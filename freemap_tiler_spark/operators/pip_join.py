@@ -322,6 +322,14 @@ def pip_join_cells(
         matched = pts.join(cover, ["cell", "_salt"]).drop("cell", "_salt")
     else:
         matched = pts.join(cover, "cell").drop("cell")
+    # the interior/boundary branches below both consume `matched`; without
+    # a cache the union would run the points x cover shuffle join TWICE.
+    # Persist it — one action computes it once, the second branch reads
+    # the InMemoryRelation, and Spark's ContextCleaner unpersists when the
+    # returned DataFrame is dropped.
+    from pyspark.storagelevel import StorageLevel
+
+    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     # interior-cell matches are inside BY CONSTRUCTION (the quadtree cover
     # proved the whole cell inside): no ray-cast, just attach the tag.
     # Boundary-cell matches get the exact even-odd verify.
