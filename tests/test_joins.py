@@ -147,3 +147,91 @@ def test_hierarchical_cover_exact_and_smaller(spark):
     a = {(r.doc_id, r.poly_id) for r in PJ.pip_join_cells(g, polys, zoom=zoom).collect()}
     b = {(r.doc_id, r.poly_id) for r in PJ.pip_join_broadcast(g, polys).collect()}
     assert a == b and len(a) > 50
+
+
+def test_segments_hit_rects_vs_dense_sampling():
+    """Property: for random segments x rects, if dense t-sampling finds a
+    point of the segment inside the rect then Liang-Barsky must report a
+    hit, and if LB reports no hit then no sample may land inside.
+    (One-way each: sampling can miss grazing hits, never invent them.)"""
+    import numpy as np
+
+    from freemap_tiler_spark.operators.pip_join import _segments_hit_rects
+
+    rng = np.random.default_rng(42)
+    ts = np.linspace(0.0, 1.0, 257)
+    for _ in range(300):
+        p1 = rng.uniform(-10, 10, 2)
+        p2 = rng.uniform(-10, 10, 2)
+        lo = rng.uniform(-10, 8, 2)
+        hi = lo + rng.uniform(0.1, 4, 2)
+        hit = _segments_hit_rects(
+            np.array([p1[0]]), np.array([p1[1]]),
+            np.array([p2[0]]), np.array([p2[1]]),
+            np.array([lo[0]]), np.array([lo[1]]),
+            np.array([hi[0]]), np.array([hi[1]]),
+        )[0]
+        sx = p1[0] + (p2[0] - p1[0]) * ts
+        sy = p1[1] + (p2[1] - p1[1]) * ts
+        sampled = bool(((sx >= lo[0]) & (sx <= hi[0])
+                        & (sy >= lo[1]) & (sy <= hi[1])).any())
+        if sampled:
+            assert hit
+        if not hit:
+            assert not sampled
+    # degenerate axes: vertical, horizontal, point segments
+    for p1, p2, rect, want in [
+        ((1.0, -5.0), (1.0, 5.0), (0.0, -1.0, 2.0, 1.0), True),   # vertical
+        ((5.0, -5.0), (5.0, 5.0), (0.0, -1.0, 2.0, 1.0), False),
+        ((-5.0, 0.5), (5.0, 0.5), (0.0, -1.0, 2.0, 1.0), True),   # horizontal
+        ((0.5, 0.5), (0.5, 0.5), (0.0, -1.0, 2.0, 1.0), True),    # point in
+        ((9.0, 9.0), (9.0, 9.0), (0.0, -1.0, 2.0, 1.0), False),   # point out
+    ]:
+        import numpy as np
+        got = _segments_hit_rects(
+            np.array([p1[0]]), np.array([p1[1]]),
+            np.array([p2[0]]), np.array([p2[1]]),
+            np.array([rect[0]]), np.array([rect[1]]),
+            np.array([rect[2]]), np.array([rect[3]]),
+        )[0]
+        assert bool(got) == want, (p1, p2, rect)
+
+
+def test_hier_cover_matches_flat_rule():
+    """The quadtree descent must produce EXACTLY the cells the flat
+    per-cell rule keeps (center-in-polygon | boundary-segment-hit) over
+    the full bbox meshgrid — a wrong coarse-level prune or interior
+    expansion shows up as a set difference."""
+    import numpy as np
+
+    from freemap_tiler_spark.functions import mercator
+    from freemap_tiler_spark.operators import pip_join as PJ
+
+    xs = np.array([14.3, 19.0, 21.7, 17.0, 15.2])
+    ys = np.array([46.2, 45.9, 50.8, 49.9, 48.0])
+    rings = [(xs, ys)]
+    zoom = 9
+    got_c, got_i = PJ._hier_cover_one(rings, zoom)
+    got = set(int(c) for c in got_c)
+    # flat rule over the bbox meshgrid
+    tx0, ty1 = mercator.np_lonlat_to_tile(xs.min(), ys.min(), zoom)
+    tx1, ty0 = mercator.np_lonlat_to_tile(xs.max(), ys.max(), zoom)
+    gx, gy = np.meshgrid(np.arange(int(tx0), int(tx1) + 1),
+                         np.arange(int(ty0), int(ty1) + 1))
+    fx, fy = gx.ravel().astype(np.int64), gy.ravel().astype(np.int64)
+    lon0, lat0, lon1, lat1 = PJ._cell_lonlat_bounds(fx, fy, zoom)
+    e2x, e2y = np.roll(xs, -1), np.roll(ys, -1)
+    hit = PJ._segments_hit_rects(xs, ys, e2x, e2y, lon0, lat0, lon1, lat1)
+    inside = PJ.points_in_polygon((lon0 + lon1) / 2, (lat0 + lat1) / 2, rings)
+    from freemap_tiler_spark.functions import cells as C
+    want = set(int(c) for c in C.np_cell(zoom, fx[hit | inside], fy[hit | inside]))
+    assert got == want
+    # interior flags: every interior cell's center is inside and its
+    # boundary is untouched by polygon edges
+    inter = got_c[got_i]
+    if len(inter):
+        _, ix, iy = C.np_cell_zxy(inter)
+        l0, b0, l1, b1 = PJ._cell_lonlat_bounds(ix.astype(np.int64),
+                                                iy.astype(np.int64), zoom)
+        assert PJ.points_in_polygon((l0 + l1) / 2, (b0 + b1) / 2, rings).all()
+        assert not PJ._segments_hit_rects(xs, ys, e2x, e2y, l0, b0, l1, b1).any()
