@@ -112,6 +112,7 @@ def run_tiler(
     resume: bool = True,
     resampling: str = "bilinear",
     insert_empty: bool = False,
+    slices_per_level: int = 1,
 ) -> dict:
     """blocks table -> tile store + metadata + lineage.  Returns per-level
     row counts.  The complete reference-equivalent run."""
@@ -138,6 +139,7 @@ def run_tiler(
             spark, leaves, root, max_zoom, min_zoom, tile_size,
             bands=blocks.select("bands").first()[0],
             levels_per_shuffle=levels_per_shuffle, resume=resume,
+            slices_per_level=slices_per_level,
         )
         h["rows"] = sum(counts.values())
 
