@@ -51,7 +51,15 @@ def _prune_cover_by_polygon(cover: DataFrame, rings_lonlat) -> DataFrame:
     tile-inside-polygon, (b) catches polygon-inside-tile and every
     boundary crossing — including the thin strip that crosses a tile with
     no vertex or probe containment, which the round-2 probe-only rule
-    wrongly pruned."""
+    wrongly pruned.
+
+    Scale note: this filters the bbox cover (O(bbox cells) rows through
+    the filter, fully parallel).  For continent-sized polygons at deep
+    zooms, enumerate the cover hierarchically instead — pip_join's
+    quadtree descent (`_hier_cover_one`) visits only O(perimeter) cells;
+    it classifies in lon/lat space (matching the point ray-cast it
+    feeds), while this prune is exact in EPSG:3857 (matching the
+    reference's Intersects)."""
     from collections.abc import Iterator
 
     import pandas as pd
