@@ -203,9 +203,16 @@ def main() -> None:
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_history.jsonl"
     )
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET", "420"))
+    t_start = time.time()
     runs: list[dict] = []
     cal = [_calibrate()]
     for i in range(max(n_runs, 1)):
+        # wall-clock budget: never start a run that would push the whole
+        # invocation past the budget (a contended host can triple run
+        # time; one recorded run beats a timeout with none)
+        if runs and time.time() - t_start > budget - runs[-1]["total_sec"] * 1.5:
+            break
         r = run_once(spark, sf_dir, cpus, sf, n_corpus)
         cal.append(_calibrate())
         # sandwich calibration: contention is episodic and can start (or
