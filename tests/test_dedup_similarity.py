@@ -188,3 +188,70 @@ def test_srp_768dim_plan_and_throughput(spark):
     assert {r.tbl for r in cnt} == set(range(8))
     assert all(r.nb > 500 for r in cnt)  # 2^10 buckets, well-spread signs
     assert wall < 60, f"768-dim bucketing took {wall:.1f}s"
+
+
+def _total_shuffle_write(spark) -> int:
+    """Bytes shuffle-written so far, from the AppStatusStore (works with
+    spark.ui.enabled=false; local mode = one executor row)."""
+    el = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+    return sum(el.apply(i).totalShuffleWrite() for i in range(el.size()))
+
+
+def test_srp_id_only_candidate_join_shuffle(spark):
+    """VERDICT r3 'Next round' #3 done-criterion: at 768-dim the id-only
+    SRP bucket join (production ann_topk) must move >=4x fewer shuffle
+    bytes than the r3 vector-carrying bucket rows, with an identical
+    result set."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    n, dim, n_planes, n_tables = 20_000, 768, 10, 4
+    id_t = spark.range(1).schema[0].dataType
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rng = np.random.default_rng(int(pdf["id"].iloc[0]) + 7)
+            v = rng.standard_normal((len(pdf), dim)).astype(np.float32)
+            yield pd.DataFrame({"vec_id": pdf["id"], "embedding": list(v)})
+
+    sch = StructType([StructField("vec_id", id_t),
+                      StructField("embedding", ArrayType(FloatType()))])
+    corpus = spark.range(n, numPartitions=8).mapInPandas(gen, sch).persist()
+    corpus.count()
+    probes = corpus.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("probe_id"), "embedding").persist()
+    probes.count()
+
+    s0 = _total_shuffle_write(spark)
+    new_rows = similarity.ann_topk(
+        probes, corpus, dim=dim, k=5, n_planes=n_planes, n_tables=n_tables,
+        multiprobe=0)
+    new_set = {(r.probe_id, r.vec_id, r.rank) for r in new_rows.collect()}
+    bytes_new = _total_shuffle_write(spark) - s0
+
+    # the r3 shape: bucket rows repeat the raw vector into the equi-join
+    pr = similarity.srp_bucket_rows(
+        probes, "probe_id", "embedding", dim, n_planes, n_tables, 0, "_pv")
+    co = similarity.srp_bucket_rows(
+        corpus, "vec_id", "embedding", dim, n_planes, n_tables, 0, "_cv")
+    s1 = _total_shuffle_write(spark)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id")
+    old_rows = (
+        pr.join(co, ["tbl", "bkt"])
+        .select("probe_id", "vec_id", "_pv", "_cv")
+        .dropDuplicates(["probe_id", "vec_id"])
+        .withColumn("cos", similarity.cosine("_pv", "_cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    old_set = {(r.probe_id, r.vec_id, r.rank) for r in old_rows.collect()}
+    bytes_old = _total_shuffle_write(spark) - s1
+    corpus.unpersist()
+    probes.unpersist()
+
+    assert new_set == old_set
+    assert bytes_old >= 4 * max(bytes_new, 1), (
+        f"id-only join should cut shuffle >=4x: old={bytes_old} new={bytes_new}")
