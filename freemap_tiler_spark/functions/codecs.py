@@ -176,10 +176,13 @@ def zstd_frame_encode(data: bytes, min_rle: int = 16) -> bytes:
 
 
 def zstd_frame_decode(data: bytes) -> bytes:
-    """Decode a zstd frame of Raw/RLE blocks (any conformant header shape:
-    single-segment or windowed, all FCS/dict-id widths, trailing checksum
-    tolerated).  Compressed (FSE/Huffman) blocks are rejected — this
-    engine's writer never emits them."""
+    """Decode ANY conformant zstd frame (single-segment or windowed, all
+    FCS/dict-id widths, trailing checksum tolerated): Raw and RLE blocks
+    inline; Compressed (FSE/Huffman) blocks via functions/zstd_fse.py —
+    the reference's resume path decode_alls frames the real zstd CLI
+    wrote (src/processor.rs:205-209), and those contain compressed blocks
+    at every standard level.  Fuzz-verified against the system `zstd` CLI
+    at levels 1..22 incl. --long and checksummed frames (pytest)."""
     assert data[:4] == ZSTD_MAGIC, "not a zstd frame"
     fhd = data[4]
     pos = 5
@@ -189,6 +192,7 @@ def zstd_frame_decode(data: bytes) -> bytes:
     pos += (0, 1, 2, 4)[dict_flag]
     pos += (1 if single else 0, 2, 4, 8)[fcs_flag]
     out = bytearray()
+    ctx: dict = {}  # frame-scoped repeat state (Huffman/FSE tables, offsets)
     while True:
         bh = int.from_bytes(data[pos:pos + 3], "little")
         pos += 3
@@ -199,8 +203,13 @@ def zstd_frame_decode(data: bytes) -> bytes:
         elif btype == 1:
             out += data[pos:pos + 1] * size
             pos += 1
+        elif btype == 2:
+            from freemap_tiler_spark.functions import zstd_fse
+
+            zstd_fse.decode_block(data[pos:pos + size], out, ctx)
+            pos += size
         else:
-            raise ValueError("compressed zstd block: not written by this engine")
+            raise ValueError("reserved zstd block type")
         if last:
             break
     return bytes(out)

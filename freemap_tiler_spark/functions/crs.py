@@ -140,9 +140,88 @@ def _utm_pair(zone: int, south: bool) -> tuple[Transform, Transform]:
     return to_merc, from_merc
 
 
+def _tmerc_pair(
+    lon0: float, lat0: float, k0: float, x0: float, y0: float
+) -> tuple[Transform, Transform]:
+    """Generic Transverse Mercator pair from PROJ-style parameters.
+    lat_0 != 0 folds into the false northing via the meridional arc
+    (y = k0*(M - M0) + y_0, Snyder 8-9 with an origin-latitude offset)."""
+    m0 = float(_m_arc(np.asarray([math.radians(lat0)]))[0]) if lat0 else 0.0
+    fn = y0 - k0 * m0
+
+    def to_merc(X, Y):
+        lon, lat = tm_inverse(X, Y, lon0, k0=k0, false_e=x0, false_n=fn)
+        return mercator.np_lonlat_to_merc(np.asarray(lon), np.clip(lat, -85.06, 85.06))
+
+    def from_merc(mx, my):
+        lon = np.degrees(np.asarray(mx, float) / mercator.R)
+        lat = np.degrees(
+            2.0 * np.arctan(np.exp(np.asarray(my, float) / mercator.R)) - np.pi / 2.0
+        )
+        return tm_forward(lon, lat, lon0, k0=k0, false_e=x0, false_n=fn)
+
+    return to_merc, from_merc
+
+
+def parse_proj_pipeline(proj: str) -> str:
+    """Common `+proj=...` pipeline strings -> a CRS name this registry
+    resolves (the reference accepts a PROJ pipeline via --transform-
+    pipeline, src/args.rs:36-38 / src/warp.rs:22-77).  Supported:
+    longlat/latlong (-> EPSG:4326), webmerc/3857-style merc, utm
+    (+zone, +south), and general tmerc (+lon_0 +lat_0 +k/+k_0 +x_0
+    +y_0) — the WGS84-ellipsoid forms the tiler's sources use.  tmerc
+    strings register their transform pair under the normalized string
+    and return it."""
+    kv: dict[str, str | bool] = {}
+    for tok in proj.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        k, _, v = tok.partition("=")
+        kv[k] = v if v else True
+    p = kv.get("proj")
+    if p in ("longlat", "latlong", "lonlat"):
+        return "EPSG:4326"
+    if p == "webmerc" or (
+        p == "merc" and kv.get("a") == "6378137" and kv.get("b") == "6378137"
+    ):
+        return "EPSG:3857"
+    if p == "utm":
+        zone = int(str(kv.get("zone", 0)))
+        if not 1 <= zone <= 60:
+            raise ValueError(f"utm pipeline needs +zone=1..60: {proj!r}")
+        return f"EPSG:{327 if kv.get('south') else 326}{zone:02d}"
+    if p == "tmerc":
+        lon0 = float(str(kv.get("lon_0", 0.0)))
+        lat0 = float(str(kv.get("lat_0", 0.0)))
+        k0 = float(str(kv.get("k", kv.get("k_0", 1.0))))
+        x0 = float(str(kv.get("x_0", 0.0)))
+        y0 = float(str(kv.get("y_0", 0.0)))
+        name = (f"+proj=tmerc +lat_0={lat0!r} +lon_0={lon0!r} +k={k0!r} "
+                f"+x_0={x0!r} +y_0={y0!r}")
+        if name not in _REGISTRY:
+            _REGISTRY[name] = _tmerc_pair(lon0, lat0, k0, x0, y0)
+        return name
+    raise ValueError(
+        f"unsupported PROJ pipeline {proj!r}: longlat/webmerc/utm/tmerc "
+        f"forms are parsed; register_crs(...) covers anything else"
+    )
+
+
+def normalize_crs(name: str) -> str:
+    """Canonical registry name for ``name``: `+proj=...` strings parse to
+    their EPSG/tmerc-registered equivalent, everything else passes
+    through — so string comparisons against 'EPSG:4326'/'EPSG:3857'
+    route pipeline spellings onto the native separable warp paths."""
+    return parse_proj_pipeline(name) if name.startswith("+") else name
+
+
 def lookup_crs(name: str) -> tuple[Transform, Transform] | None:
     """Resolve a registered (or auto-registrable) CRS pair; None if the
-    warp should use its separable native paths (3857/4326)."""
+    warp should use its separable native paths (3857/4326).  Accepts
+    EPSG names, previously-registered custom names, and `+proj=...`
+    pipeline strings (parse_proj_pipeline)."""
+    name = normalize_crs(name)
     if name in ("EPSG:3857", "EPSG:4326"):
         return None
     if name not in _REGISTRY and name.startswith("EPSG:"):

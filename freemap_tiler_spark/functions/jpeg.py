@@ -2,15 +2,19 @@
 
 The reference encodes tiles as JPEG q85 with the alpha band in a zstd
 sidecar (src/processor.rs:493-563).  No libjpeg/Pillow in this container,
-so this is a from-scratch baseline implementation: 8-bit, non-progressive,
-grayscale or YCbCr 4:4:4 (no subsampling), standard Annex-K quantization
-and Huffman tables, libjpeg quality scaling.  DCT is vectorized over all
-8x8 blocks at once (two einsum contractions); only the entropy coding is a
-per-block python loop (runs inside Arrow-batched UDFs only).
+so this is a from-scratch baseline implementation.  Encode: 8-bit,
+non-progressive, grayscale or YCbCr 4:4:4 (no subsampling), standard
+Annex-K quantization and Huffman tables, libjpeg quality scaling.  DCT is
+vectorized over all 8x8 blocks at once (two einsum contractions); only the
+entropy coding is a per-block python loop (runs inside Arrow-batched UDFs
+only).
 
-Interchange-compatible: any standard decoder reads these bytes; `decode`
-reads any baseline non-subsampled JPEG (and 2x1/2x2-subsampled ones are
-rejected explicitly, not corrupted).
+Interchange-compatible both ways: any standard decoder reads the encoded
+bytes, and `decode` reads any baseline SOF0 JPEG — 4:4:4, 4:2:2, 4:2:0,
+4:4:0 sampling (triangle 'fancy' chroma upsampling, matching libjpeg and
+the reference's image crate) plus DRI/RSTn restart markers — verified in
+pytest against checked-in fixtures written by an external libjpeg-based
+toolchain (src/processor.rs:194-203 reads such stores on resume).
 """
 
 from __future__ import annotations
@@ -333,14 +337,96 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _decode_block(br: _BitReader, comp: dict, pred: int, qtab: np.ndarray) -> tuple:
+    """One entropy-coded 8x8 block -> (spatial float64 block, new pred)."""
+    blk = np.zeros(64, np.int32)
+    cat = _read_huff(br, comp["dc"])
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    pred += diff
+    blk[0] = pred
+    i = 1
+    while i < 64:
+        rs = _read_huff(br, comp["ac"])
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            i += 16
+            continue
+        i += rs >> 4
+        cat = rs & 15
+        if i > 63:
+            break
+        blk[i] = _extend(br.bits(cat), cat)
+        i += 1
+    nat = np.zeros(64, np.int32)
+    nat[_ZIGZAG] = blk
+    deq = nat.reshape(8, 8) * qtab.reshape(8, 8)
+    pix = np.einsum("ji,jk,kl->il", _DCT, deq.astype(np.float64), _DCT,
+                    optimize=True) + 128.0
+    return pix, pred
+
+
+def _split_restarts(scan_bytes: bytes) -> list[bytes]:
+    """Split entropy-coded data on RST0-7 markers (0xFF can only appear
+    stuffed as FF 00 inside entropy data, so a bare FF D0-D7 is always a
+    restart boundary; FF <other> terminates the scan)."""
+    segs = []
+    start = i = 0
+    while i + 1 < len(scan_bytes):
+        if scan_bytes[i] == 0xFF:
+            nxt = scan_bytes[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            segs.append(scan_bytes[start:i])
+            if 0xD0 <= nxt <= 0xD7:
+                i += 2
+                start = i
+                continue
+            return segs  # EOI / other marker: end of scan
+        i += 1
+    segs.append(scan_bytes[start:])
+    return segs
+
+
+def _upsample(plane: np.ndarray, fy: int, fx: int, h: int, w: int) -> np.ndarray:
+    """Chroma plane -> full resolution.  Factor-2 axes use the triangle
+    (libjpeg "fancy") filter — matches what the reference's image-crate
+    decoder produces for h2v1/h2v2 (src/processor.rs:194-203); other
+    factors fall back to sample replication."""
+    def tri_axis(p: np.ndarray, axis: int) -> np.ndarray:
+        a = np.moveaxis(p, axis, 0).astype(np.float64)
+        prev = np.concatenate([a[:1], a[:-1]], axis=0)
+        nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+        out = np.empty((2 * a.shape[0],) + a.shape[1:], np.float64)
+        out[0::2] = (3.0 * a + prev) / 4.0
+        out[1::2] = (3.0 * a + nxt) / 4.0
+        return np.moveaxis(out, 0, axis)
+
+    if fy == 2:
+        plane = tri_axis(plane, 0)
+    elif fy > 1:
+        plane = np.repeat(plane, fy, axis=0)
+    if fx == 2:
+        plane = tri_axis(plane, 1)
+    elif fx > 1:
+        plane = np.repeat(plane, fx, axis=1)
+    return plane[:h, :w]
+
+
 def decode(data: bytes) -> np.ndarray:
-    """Baseline non-subsampled JFIF bytes -> (H, W) or (H, W, 3) u8."""
+    """Baseline JFIF bytes -> (H, W) or (H, W, 3) u8.  Handles any
+    baseline sampling (4:4:4, 4:2:2, 4:2:0, 4:4:0, ...) and restart
+    markers — the reference resumes from stores whose JPEGs come from the
+    image crate, which subsamples (src/processor.rs:194-203), so the
+    read side must accept what external encoders write."""
     assert data[:2] == b"\xff\xd8", "not a JPEG"
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[int, dict] = {}
     comps = []
     h = w = 0
+    restart_interval = 0
     while pos < len(data):
         assert data[pos] == 0xFF, "marker expected"
         marker = data[pos + 1]
@@ -363,9 +449,7 @@ def decode(data: bytes) -> np.ndarray:
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (baseline 4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": hv >> 4, "v": hv & 15})
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xC4:
@@ -377,6 +461,8 @@ def decode(data: bytes) -> np.ndarray:
                 values = list(body[i + 17:i + 17 + nv])
                 htabs[tc_th] = _dec_table(bits, values)
                 i += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             scan = []
@@ -386,39 +472,46 @@ def decode(data: bytes) -> np.ndarray:
                 comp["dc"] = htabs[tabs >> 4]
                 comp["ac"] = htabs[0x10 | (tabs & 15)]
                 scan.append(comp)
-            br = _BitReader(data[pos + seglen:])
-            bh, bw_ = -(-h // 8), -(-w // 8)
-            planes = [np.zeros((bh * 8, bw_ * 8), np.float64) for _ in scan]
+            hmax = max(c["h"] for c in scan)
+            vmax = max(c["v"] for c in scan)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            planes = [
+                np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
+                for c in scan
+            ]
+            segs = _split_restarts(data[pos + seglen:])
+            seg_i = 0
+            br = _BitReader(segs[0])
             preds = [0] * len(scan)
-            for by in range(bh):
-                for bx in range(bw_):
+            mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        seg_i += 1
+                        br = _BitReader(segs[seg_i])
+                        preds = [0] * len(scan)
                     for ci, comp in enumerate(scan):
-                        blk = np.zeros(64, np.int32)
-                        cat = _read_huff(br, comp["dc"])
-                        diff = _extend(br.bits(cat), cat) if cat else 0
-                        preds[ci] += diff
-                        blk[0] = preds[ci]
-                        i = 1
-                        while i < 64:
-                            rs = _read_huff(br, comp["ac"])
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            cat = rs & 15
-                            if i > 63:
-                                break
-                            blk[i] = _extend(br.bits(cat), cat)
-                            i += 1
-                        nat = np.zeros(64, np.int32)
-                        nat[_ZIGZAG] = blk
-                        deq = nat.reshape(8, 8) * qtabs[comp["tq"]].reshape(8, 8)
-                        pix = np.einsum("ji,jk,kl->il", _DCT, deq.astype(np.float64), _DCT,
-                                        optimize=True) + 128.0
-                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
-            planes = [p[:h, :w] for p in planes]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                pix, preds[ci] = _decode_block(
+                                    br, comp, preds[ci], qtabs[comp["tq"]]
+                                )
+                                y0 = (my * comp["v"] + by) * 8
+                                x0 = (mx * comp["h"] + bx) * 8
+                                planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                    mcu += 1
+            full = []
+            for p, c in zip(planes, scan):
+                if (c["h"], c["v"]) == (hmax, vmax):
+                    full.append(p[:h, :w])
+                else:
+                    ch = -(-h * c["v"] // vmax)   # component's true pixel dims
+                    cw = -(-w * c["h"] // hmax)
+                    full.append(
+                        _upsample(p[:ch, :cw], vmax // c["v"], hmax // c["h"], h, w)
+                    )
+            planes = full
             if len(planes) == 1:
                 return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
             y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0

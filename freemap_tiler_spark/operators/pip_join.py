@@ -185,8 +185,20 @@ def _cell_lonlat_bounds(x: np.ndarray, y: np.ndarray, zoom: int):
     return lon0, lat0, lon1, lat1
 
 
+def _cell_merc_bounds(x: np.ndarray, y: np.ndarray, zoom: int):
+    span = mercator.WORLD / float(1 << zoom)
+    mx0 = x * span - mercator.ORIGIN
+    mx1 = (x + 1) * span - mercator.ORIGIN
+    my1 = mercator.ORIGIN - y * span
+    my0 = mercator.ORIGIN - (y + 1) * span
+    return mx0, my0, mx1, my1
+
+
 def _hier_cover_one(
-    rings: list[tuple[np.ndarray, np.ndarray]], zoom: int, coarse_levels: int = 6
+    rings: list[tuple[np.ndarray, np.ndarray]],
+    zoom: int,
+    coarse_levels: int = 6,
+    space: str = "lonlat",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Hierarchical EXACT cover of one polygon at ``zoom``: (cells,
     interior) arrays.  Quadtree descent from ``zoom - coarse_levels``:
@@ -196,24 +208,41 @@ def _hier_cover_one(
     descendants with no further tests; these skip the join-time ray-cast),
     or boundary (split and recursed).  Work is O(perimeter-cells x edges)
     instead of O(bbox-cells x edges) — the continent-at-z10+ fix from
-    VERDICT r2 (pip_join.py cover-explosion note)."""
+    VERDICT r2 (pip_join.py cover-explosion note).
+
+    ``space`` picks the classification geometry: 'lonlat' (rings in
+    degrees — matches the point ray-cast pip_join feeds) or 'merc'
+    (rings in EPSG:3857 meters — edges straight in the reference's
+    Intersects space, src/main.rs:187-198; used by the DataFrame-layer
+    pipeline prune)."""
     e1x = np.concatenate([r[0] for r in rings])
     e1y = np.concatenate([r[1] for r in rings])
     e2x = np.concatenate([np.roll(r[0], -1) for r in rings])
     e2y = np.concatenate([np.roll(r[1], -1) for r in rings])
     z0 = max(zoom - coarse_levels, 0)
-    tx0, ty1 = mercator.np_lonlat_to_tile(e1x.min(), e1y.min(), z0)
-    tx1, ty0 = mercator.np_lonlat_to_tile(e1x.max(), e1y.max(), z0)
+    if space == "merc":
+        span0 = mercator.WORLD / float(1 << z0)
+        tx0 = int((e1x.min() + mercator.ORIGIN) // span0)
+        tx1 = int((e1x.max() + mercator.ORIGIN) // span0)
+        ty0 = int((mercator.ORIGIN - e1y.max()) // span0)
+        ty1 = int((mercator.ORIGIN - e1y.min()) // span0)
+        n0 = (1 << z0) - 1
+        tx0, tx1 = max(tx0, 0), min(tx1, n0)
+        ty0, ty1 = max(ty0, 0), min(ty1, n0)
+    else:
+        tx0, ty1 = mercator.np_lonlat_to_tile(e1x.min(), e1y.min(), z0)
+        tx1, ty0 = mercator.np_lonlat_to_tile(e1x.max(), e1y.max(), z0)
     gx, gy = np.meshgrid(
         np.arange(int(tx0), int(tx1) + 1), np.arange(int(ty0), int(ty1) + 1)
     )
     fx, fy = gx.ravel().astype(np.int64), gy.ravel().astype(np.int64)
+    bounds_fn = _cell_merc_bounds if space == "merc" else _cell_lonlat_bounds
     out_c: list[np.ndarray] = []
     out_i: list[np.ndarray] = []
     for z in range(z0, zoom + 1):
         if len(fx) == 0:
             break
-        lon0, lat0, lon1, lat1 = _cell_lonlat_bounds(fx, fy, z)
+        lon0, lat0, lon1, lat1 = bounds_fn(fx, fy, z)
         hit = np.zeros(len(fx), dtype=bool)
         for r0 in range(0, len(fx), 4096):
             sl = slice(r0, r0 + 4096)
@@ -245,13 +274,16 @@ def _hier_cover_one(
     return np.concatenate(out_c), np.concatenate(out_i)
 
 
-def polygon_covering_cells(polygons: DataFrame, zoom: int) -> DataFrame:
+def polygon_covering_cells(
+    polygons: DataFrame, zoom: int, space: str = "lonlat"
+) -> DataFrame:
     """Explode each polygon to EXACTLY the cells (at ``zoom``) it
     intersects — the P1 tile-coverage generator (src/main.rs:173-181)
     upgraded from a bbox meshgrid to a hierarchical quadtree cover (see
     _hier_cover_one).  Output: (poly_id, cell, interior); ``interior``
     rows are fully inside the polygon, so the join-time exact ray-cast
-    can be skipped for their matches."""
+    can be skipped for their matches.  ``space='merc'`` classifies with
+    rings already in EPSG:3857 (the reference's Intersects space)."""
 
     def _cover(pdf: pd.DataFrame) -> pd.DataFrame:
         pids, ccells, ints = [], [], []
@@ -261,7 +293,7 @@ def polygon_covering_cells(polygons: DataFrame, zoom: int) -> DataFrame:
                 (np.asarray(x, float), np.asarray(y, float))
                 for x, y in zip(g["xs"], g["ys"])
             ]
-            c, inter = _hier_cover_one(rings, zoom)
+            c, inter = _hier_cover_one(rings, zoom, space=space)
             pids.append(np.full(len(c), pid, dtype=np.int64))
             ccells.append(c)
             ints.append(inter)
@@ -322,43 +354,35 @@ def pip_join_cells(
         matched = pts.join(cover, ["cell", "_salt"]).drop("cell", "_salt")
     else:
         matched = pts.join(cover, "cell").drop("cell")
-    # the interior/boundary branches below both consume `matched`; without
-    # a cache the union would run the points x cover shuffle join TWICE.
-    # Persist it — one action computes it once, the second branch reads
-    # the InMemoryRelation, and Spark's ContextCleaner unpersists when the
-    # returned DataFrame is dropped.
-    from pyspark.storagelevel import StorageLevel
-
-    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
-    # interior-cell matches are inside BY CONSTRUCTION (the quadtree cover
-    # proved the whole cell inside): no ray-cast, just attach the tag.
-    # Boundary-cell matches get the exact even-odd verify.
-    out_cols = list(points.schema.fieldNames()) + ["poly_id", "tag"]
-    tags = polygons.groupBy("poly_id").agg(F.first("tag").alias("tag"))
-    inner = (
-        matched.where(F.col("interior"))
-        .join(F.broadcast(tags), "poly_id")
-        .select(*out_cols)
-    )
-    # rings aggregated to ONE row per polygon (outer + holes as array<array>)
+    # ONE consumer of the points x cover join (ADVICE r3 #3: the previous
+    # interior/boundary union consumed `matched` twice, forcing a persist
+    # that stayed pinned in executor storage while callers held the
+    # result).  All matched rows broadcast-join the per-polygon rings —
+    # map-side, pipelined straight into the kernel, so the ring arrays
+    # never enter a shuffle — and the ray-cast kernel passes
+    # interior-cell matches through untouched (the quadtree cover proved
+    # those cells fully inside; src/main.rs:187-198 semantics).
     rings = polygons.orderBy("ring_idx").groupBy("poly_id").agg(
         F.collect_list("xs").alias("all_xs"),
         F.collect_list("ys").alias("all_ys"),
         F.first("tag").alias("tag"),
     )
-    cand = matched.where(~F.col("interior")).drop("interior").join(rings, "poly_id")
-    return _pip_exact_raycast(cand, points, x_col, y_col).unionByName(inner)
+    cand = matched.join(F.broadcast(rings), "poly_id")
+    return _pip_exact_raycast(cand, points, x_col, y_col)
 
 
 def _pip_exact_raycast(
     cand: DataFrame, points: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:
-    """Exact even-odd verify over (point x candidate-polygon) rows."""
+    """Exact even-odd verify over (point x candidate-polygon) rows.  When
+    ``cand`` carries an ``interior`` column, True rows are kept without a
+    ray-cast (their covering cell was proven fully inside)."""
     out_cols = list(points.schema.fieldNames()) + ["poly_id", "tag"]
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in points.schema.fields]
         + ["poly_id long", "tag string"]
     )
+    has_interior = "interior" in cand.columns
 
     def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -366,11 +390,14 @@ def _pip_exact_raycast(
                 yield pdf.reindex(columns=out_cols)
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
+            if has_interior:
+                keep |= pdf["interior"].to_numpy(bool)
             px = pdf[x_col].to_numpy(float)
             py = pdf[y_col].to_numpy(float)
-            # vectorized per polygon: all candidate points of one polygon
-            # in a single ray-cast batch
-            for pid, g in pdf.groupby("poly_id", sort=False):
+            # vectorized per polygon: all boundary candidates of one
+            # polygon in a single ray-cast batch
+            todo = pdf if not has_interior else pdf.loc[~keep]
+            for pid, g in todo.groupby("poly_id", sort=False):
                 first = g.iloc[0]
                 poly_rings = [
                     (np.asarray(xs, float), np.asarray(ys, float))

@@ -257,7 +257,10 @@ def warp_blocks_to_tiles(
                 # generic-CRS hook (UTM auto, register_crs for custom);
                 # None -> separable native paths (3857 identity / 4326)
                 from freemap_tiler_spark.functions import crs as crs_mod
-                pair = crs_mod.lookup_crs(row.crs)
+                # pipeline spellings (+proj=...) normalize to their EPSG
+                # twin so the native separable 4326/3857 paths still fire
+                crs_name = crs_mod.normalize_crs(row.crs)
+                pair = crs_mod.lookup_crs(crs_name)
                 rotated = gt[2] != 0.0 or gt[4] != 0.0
                 use2d = pair is not None or rotated
                 # block corner coords (full affine: rotation-safe) ->
@@ -272,7 +275,7 @@ def warp_blocks_to_tiles(
                     )
                     bx = np.array([bx0, bx1])
                     by = np.array([by0, by1])
-                elif row.crs == "EPSG:4326":
+                elif crs_name == "EPSG:4326":
                     bx, by = mercator.np_lonlat_to_merc(cx, np.clip(cy, -85.06, 85.06))
                 else:
                     bx, by = cx, cy
@@ -285,7 +288,7 @@ def warp_blocks_to_tiles(
                 # units (degrees for 4326); the real scale comes from the
                 # inverse map via _axis_scale below
                 unit = span / t
-                if row.crs == "EPSG:4326":
+                if crs_name == "EPSG:4326":
                     unit = float(np.degrees(unit / mercator.R))
                 fb_x = unit / abs(gt[1])
                 fb_y = unit / abs(gt[5])
@@ -298,7 +301,7 @@ def warp_blocks_to_tiles(
                         # on ALL warps), bilinear/nearest selectable
                         sx2, sy2 = _inverse_map_source_px_2d(
                             tx, ty, zoom, t, gt,
-                            pair[1] if pair is not None else None, row.crs,
+                            pair[1] if pair is not None else None, crs_name,
                             row.block_x, row.block_y, w, h,
                         )
                         inb = (
@@ -356,7 +359,7 @@ def warp_blocks_to_tiles(
                 g0x, g1x = txa * t, (txb + 1) * t
                 g0y, g1y = tya * t, (tyb + 1) * t
                 sx, sy = _inverse_map_global_px(
-                    g0x, g1x, g0y, g1y, zoom, t, gt, row.crs,
+                    g0x, g1x, g0y, g1y, zoom, t, gt, crs_name,
                     row.block_x, row.block_y, w, h,
                 )
                 inbx = (sx >= -0.5) & (sx < w - 0.5)

@@ -97,32 +97,32 @@ def streaming_first_seen(
     )
     empty = pd.DataFrame({"fingerprint": [], "url": [], "warc_ts": []})
 
-    def _arm(state: GroupState) -> None:
-        if ttl_ms is not None:
-            # sliding TTL: must be strictly beyond the current watermark
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms + 1)
+    def _arm(state: GroupState, max_ev_ms: int | None) -> int:
+        if ttl_ms is None:
+            return 0
+        # sliding TTL armed from max(watermark, group's max event time):
+        # during the FIRST micro-batch the watermark is still 0, so
+        # arming from the watermark alone would give every backfill
+        # fingerprint a timeout near epoch+TTL and expire it as soon as
+        # the watermark advances in batch 2 — re-emitting duplicates
+        # well inside the documented TTL (ADVICE r3 #1).  Must also stay
+        # strictly beyond the current watermark.
+        base = state.getCurrentWatermarkMs()
+        if max_ev_ms is not None and max_ev_ms > base:
+            base = max_ev_ms
+        ts = base + ttl_ms + 1
+        state.setTimeoutTimestamp(ts)
+        return ts
 
-    def _first(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            yield empty
-            return
-        if state.exists:
-            for _ in pdfs:  # already emitted: drain input, extend TTL
-                pass
-            _arm(state)
-            yield empty
-            return
-        first_row = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("warc_ts")
-            if len(pdf) and first_row is None:
-                first_row = pdf.iloc[0]
-        if first_row is None:
-            yield empty
-            return
-        state.update((1,))
-        _arm(state)
+    def _max_ev_ms(pdf, cur: int | None) -> int | None:
+        if not len(pdf):
+            return cur
+        m = int(pd.Timestamp(pdf["warc_ts"].max()).value // 1_000_000)
+        return m if cur is None or m > cur else cur
+
+    def _emit_first(key, first_row, state: GroupState, max_ev):
+        armed = _arm(state, max_ev)
+        state.update((1, armed))
         yield pd.DataFrame(
             {
                 "fingerprint": [key[0]],
@@ -131,10 +131,52 @@ def streaming_first_seen(
             }
         )
 
+    def _first(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
+        if state.exists:
+            max_ev = None
+            first_row = None
+            for pdf in pdfs:  # drain input, tracking event times
+                max_ev = _max_ev_ms(pdf, max_ev)
+                pdf = pdf.sort_values("warc_ts")
+                if len(pdf) and first_row is None:
+                    first_row = pdf.iloc[0]
+            # Spark never fires the timeout callback for a group that
+            # received data this batch, so an arrival in the very batch
+            # the state would expire must check the ARMED timestamp
+            # itself (kept in state): watermark past it == expired ==
+            # this arrival is a re-emitted first-seen (the documented
+            # TTL trade), not a suppressed duplicate.
+            expired = (
+                ttl_ms is not None
+                and first_row is not None
+                and state.getCurrentWatermarkMs() > state.get[1]
+            )
+            if expired:
+                yield from _emit_first(key, first_row, state, max_ev)
+            else:
+                _arm(state, max_ev)
+                yield empty
+            return
+        first_row = None
+        max_ev = None
+        for pdf in pdfs:
+            max_ev = _max_ev_ms(pdf, max_ev)
+            pdf = pdf.sort_values("warc_ts")
+            if len(pdf) and first_row is None:
+                first_row = pdf.iloc[0]
+        if first_row is None:
+            yield empty
+            return
+        yield from _emit_first(key, first_row, state, max_ev)
+
     return keyed.applyInPandasWithState(
         _first,
         outputStructType="fingerprint long, url string, warc_ts timestamp",
-        stateStructType="seen int",
+        stateStructType="seen int, armed_ms long",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.EventTimeTimeout

@@ -149,3 +149,164 @@ def test_alpha_rle_compresses_hole_planes():
     a[0:64, :] = 0
     enc = codecs.alpha_encode(a)
     assert len(enc) < len(a.tobytes()) // 50
+
+
+def test_zstd_compressed_block_golden_fixtures():
+    """Read-side interchange (VERDICT r3 'Next round' #4): frames written
+    by the real zstd CLI (levels 3/12/19, checksummed + multi-block)
+    contain FSE/Huffman-compressed blocks; they must decode byte-exact.
+    Fixtures were generated once with the system CLI and checked in."""
+    import glob
+    import hashlib
+    import os
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    frames = sorted(glob.glob(os.path.join(fixdir, "zstd_*.zst")))
+    assert len(frames) >= 3
+    for path in frames:
+        want_sha, want_len = open(path[:-4] + ".sha").read().split()
+        dec = codecs.zstd_frame_decode(open(path, "rb").read())
+        assert len(dec) == int(want_len)
+        assert hashlib.sha256(dec).hexdigest() == want_sha
+
+
+def test_zstd_compressed_block_cli_fuzz():
+    """Decoder vs the system zstd CLI across levels and payload shapes
+    (skipped when no CLI is installed; the golden test always runs)."""
+    import random
+    import shutil
+    import subprocess
+
+    if shutil.which("zstd") is None:
+        import pytest
+
+        pytest.skip("no system zstd CLI")
+    for seed in range(6):
+        r = random.Random(seed)
+        kind = seed % 3
+        if kind == 0:
+            data = bytes(r.choice(b"abcd") for _ in range(r.randrange(1, 20000)))
+        elif kind == 1:
+            data = b"".join(bytes([r.randrange(256)]) * r.randrange(1, 2000)
+                            for _ in range(r.randrange(1, 40)))
+        else:
+            base = bytes(r.randrange(256) for _ in range(r.randrange(64, 256)))
+            data = base * r.randrange(2, 300)
+        for lvl in ("-1", "-9", "-19"):
+            enc = subprocess.run(["zstd", lvl, "-c"], input=data,
+                                 capture_output=True).stdout
+            assert codecs.zstd_frame_decode(enc) == data
+
+
+def test_alpha_decode_reads_cli_compressed_sidecar():
+    """A sidecar produced by an external zstd encoder (compressed blocks)
+    feeds the same resume path as our Raw/RLE frames."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+
+    if shutil.which("zstd") is None:
+        import pytest
+
+        pytest.skip("no system zstd CLI")
+    rng = np.random.default_rng(3)
+    alpha = np.repeat(rng.choice([0, 255], 64).astype(np.uint8), 64)
+    enc = subprocess.run(["zstd", "-19", "-c"], input=alpha.tobytes(),
+                         capture_output=True).stdout
+    out = codecs.alpha_decode(enc, alpha.size)
+    assert np.array_equal(out, alpha)
+
+
+def _load_rgb_fixture(name):
+    import os
+    import struct
+
+    import numpy as np
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    jpg = open(os.path.join(fixdir, name + ".jpg"), "rb").read()
+    raw = open(os.path.join(fixdir, name + ".rgb"), "rb").read()
+    h, w = struct.unpack(">HH", raw[:4])
+    ref = np.frombuffer(raw[4:], np.uint8).reshape(h, w, 3)
+    return jpg, ref
+
+
+def test_jpeg_subsampled_decode_golden():
+    """Read-side interchange (VERDICT r3 'Next round' #5): baseline 4:2:0
+    and 4:2:2 JPEGs written by an external libjpeg-based toolchain (Java
+    ImageIO; fixtures checked in with that toolchain's own decode as the
+    reference pixels) must decode within a few counts — the triangle
+    chroma upsampler mirrors libjpeg/image-crate 'fancy' upsampling."""
+    import numpy as np
+
+    from freemap_tiler_spark.functions import jpeg
+
+    for name in ("jpeg_sub420", "jpeg_sub422"):
+        jpg, ref = _load_rgb_fixture(name)
+        got = jpeg.decode(jpg)
+        assert got.shape == ref.shape
+        d = np.abs(got.astype(int) - ref.astype(int))
+        assert d.max() <= 4, f"{name}: max diff {d.max()}"
+        assert d.mean() < 1.0, f"{name}: mean diff {d.mean():.3f}"
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn handling: a grayscale JPEG with restart_interval=1 (built
+    block-wise from this module's own tables, predictors reset + RST
+    markers between MCUs) decodes identically to the marker-free bytes."""
+    import struct
+
+    import numpy as np
+
+    from freemap_tiler_spark.functions import jpeg
+
+    rng = np.random.default_rng(11)
+    img = (np.linspace(0, 255, 16 * 32).reshape(16, 32)
+           + rng.integers(0, 10, (16, 32))).astype(np.uint8)
+    plain = jpeg.encode(img, quality=90)
+    ref = jpeg.decode(plain)
+
+    # rebuild the same scan with DRI=1 and RSTn between every MCU
+    ql, _ = jpeg._quality_tables(90)
+    q = jpeg._fdct_quant(jpeg._blockify(img), ql)
+    head, _, _ = plain.partition(b"\xff\xda")
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    out = bytearray(head + dri + sos)
+    for m in range(q.shape[0]):
+        bw = jpeg._BitWriter()
+        jpeg._encode_component(bw, q[m:m + 1], jpeg._ENC_DC_L, jpeg._ENC_AC_L, 0)
+        bw.flush()
+        out += bw.buf
+        if m < q.shape[0] - 1:
+            out += bytes([0xFF, 0xD0 + (m % 8)])
+    out += b"\xff\xd9"
+    got = jpeg.decode(bytes(out))
+    assert np.array_equal(got, ref)
+
+
+def test_decode_tile_external_store_resume():
+    """Resume from a store an EXTERNAL toolchain wrote: subsampled JPEG
+    color + CLI-compressed zstd alpha sidecar through decode_tile —
+    the exact shape the reference's processor reads back
+    (src/processor.rs:194-216)."""
+    import os
+    import shutil
+    import subprocess
+
+    import numpy as np
+
+    jpg, ref = _load_rgb_fixture("jpeg_sub420")
+    h, w, _ = ref.shape
+    rng = np.random.default_rng(5)
+    alpha = np.repeat(rng.choice([0, 255], h * w // 25 + 1).astype(np.uint8), 25)[: h * w]
+    if shutil.which("zstd"):
+        sidecar = subprocess.run(["zstd", "-19", "-c"], input=alpha.tobytes(),
+                                 capture_output=True).stdout
+    else:  # golden path still covers compressed blocks; this is belt+braces
+        sidecar = codecs.zstd_frame_encode(alpha.tobytes())
+    tile = codecs.decode_tile(jpg, sidecar, fmt="jpeg")
+    assert tile.shape == (h, w, 4)
+    assert np.abs(tile[:, :, :3].astype(int) - ref.astype(int)).max() <= 4
+    assert np.array_equal(tile[:, :, 3].ravel(), alpha)

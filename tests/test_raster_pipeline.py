@@ -484,3 +484,103 @@ def test_megatile_banding_byte_identical(spark, monkeypatch):
     monkeypatch.setattr(raster_ops, "MEGATILE_BAND_PX", 32 * 64)  # ~1 tile-row
     banded = run()
     assert base == banded and len(base) > 0
+
+
+def test_warp_proj_pipeline_string_equals_epsg(spark):
+    """VERDICT r3 'Next round' #7: the reference accepts a PROJ pipeline
+    string (src/args.rs:36-38); here a `+proj=utm` pipeline in the blocks
+    table's crs column must warp byte-identically to the auto-registered
+    EPSG:32633 spelling, and longlat/webmerc spellings must route onto
+    the native separable paths."""
+    from pyspark.sql.types import BinaryType
+
+    from freemap_tiler_spark.functions import crs as crs_mod
+
+    assert crs_mod.normalize_crs("+proj=longlat +datum=WGS84 +no_defs") == "EPSG:4326"
+    assert crs_mod.normalize_crs("+proj=webmerc +datum=WGS84") == "EPSG:3857"
+    assert crs_mod.normalize_crs("+proj=utm +zone=33 +datum=WGS84") == "EPSG:32633"
+    assert crs_mod.normalize_crs("+proj=utm +zone=19 +south") == "EPSG:32719"
+    # general tmerc == the UTM zone it parameterizes
+    pair = crs_mod.lookup_crs(
+        "+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +y_0=0")
+    ref = crs_mod.lookup_crs("EPSG:32633")
+    lon = np.array([14.2, 16.9, 15.0])
+    lat = np.array([46.0, 48.6, 50.1])
+    import numpy.testing as npt
+    mx, my = crs_mod.mercator.np_lonlat_to_merc(lon, lat)
+    npt.assert_allclose(pair[1](mx, my), ref[1](mx, my), rtol=0, atol=1e-9)
+
+    cx, cy = crs_mod.tm_forward(np.array([16.9]), np.array([48.6]), 15.0)
+    x0, y0 = float(cx[0]) - 3200.0, float(cy[0]) + 3200.0
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 255, (64, 64, 2), dtype=np.uint8)
+    img[:, :, 1] = 255
+
+    @F.udf(BinaryType())
+    def _img(_):
+        return img.tobytes()
+
+    def tiles_for(crs_str):
+        base = raster_blocks(spark, grid=1, width=64, height=64, bands=2, crs=crs_str)
+        df = base.withColumn("data", _img("data")).withColumn(
+            "geo_transform",
+            F.array(F.lit(x0), F.lit(100.0), F.lit(0.0),
+                    F.lit(y0), F.lit(0.0), F.lit(-100.0)),
+        )
+        return {
+            int(r.cell): bytes(r.payload)
+            for r in raster_ops.warp_blocks_to_tiles(df, zoom=11, tile_size=32).collect()
+        }
+
+    a = tiles_for("EPSG:32633")
+    b = tiles_for("+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs")
+    assert a == b and a, "pipeline-string warp must equal the EPSG warp"
+
+
+def test_polygon_layer_prune_matches_broadcast(spark):
+    """VERDICT r3 'Next round' #10: the DataFrame-layer cell-join prune
+    must keep exactly the tiles the broadcast-rings prune keeps (same
+    EPSG:3857 Intersects rule) on both contract fixtures, and must
+    handle a multi-polygon layer without driver-side rings."""
+    from freemap_tiler_spark import contract
+    from freemap_tiler_spark import pipeline as PL
+    from freemap_tiler_spark.functions import mercator
+
+    def both(vx, vy, zoom=8):
+        rings = [(np.asarray(vx, float), np.asarray(vy, float))]
+        mx0, my0 = mercator.np_lonlat_to_merc(min(vx), min(vy))
+        mx1, my1 = mercator.np_lonlat_to_merc(max(vx), max(vy))
+        cover = raster_ops.tile_cover(
+            spark, (float(mx0), float(my0), float(mx1), float(my1)), zoom)
+        bc = {(r.x, r.y) for r in
+              PL._prune_cover_by_polygon(cover, rings).collect()}
+        layer = spark.createDataFrame(
+            [(1, 0, [float(v) for v in vx], [float(v) for v in vy])],
+            "poly_id long, ring_idx int, xs array<double>, ys array<double>")
+        jo = {(r.x, r.y) for r in
+              PL.prune_cover_by_polygon_layer(cover, layer, zoom).collect()}
+        return bc, jo
+
+    for vx, vy in ((contract.QUAD_X, contract.QUAD_Y),
+                   (contract.STRIP_X, contract.STRIP_Y)):
+        bc, jo = both(vx, vy)
+        assert bc == jo and bc, f"layer prune diverged: {bc ^ jo}"
+
+    # many-polygon layer: 40 translated quads as one DataFrame, no
+    # driver rings anywhere in the path
+    rows = []
+    for i in range(40):
+        dx, dy = (i % 8) * 0.8, (i // 8) * 0.5
+        rows.append((i, 0, [v + dx for v in map(float, contract.QUAD_X)],
+                     [v + dy for v in map(float, contract.QUAD_Y)]))
+    layer = spark.createDataFrame(
+        rows, "poly_id long, ring_idx int, xs array<double>, ys array<double>")
+    xs = [x for r in rows for x in r[2]]
+    ys = [y for r in rows for y in r[3]]
+    mx0, my0 = mercator.np_lonlat_to_merc(min(xs), min(ys))
+    mx1, my1 = mercator.np_lonlat_to_merc(max(xs), max(ys))
+    cover = raster_ops.tile_cover(
+        spark, (float(mx0), float(my0), float(mx1), float(my1)), 8)
+    kept = PL.prune_cover_by_polygon_layer(cover, layer, 8)
+    n_kept, n_cover = kept.count(), cover.count()
+    assert 0 < n_kept < n_cover

@@ -165,3 +165,46 @@ def test_first_seen_ttl_expiry_reemits(spark, tmp_path):
     # u1 (A first), u2 (B first), u4 (C first), u5 (B re-emitted after
     # TTL); u3 (A dup inside TTL) suppressed
     assert urls == ["u1", "u2", "u4", "u5"], urls
+
+
+def test_first_seen_ttl_survives_first_batch_arming(spark, tmp_path):
+    """ADVICE r3 #1 regression: state first created in batch 1 (when the
+    watermark is still 0) must be armed from the EVENT time, not the
+    epoch watermark — otherwise every backfill fingerprint expires the
+    moment the watermark first advances, and an in-TTL duplicate in a
+    later batch is wrongly re-emitted."""
+    import datetime as dt
+
+    d = str(tmp_path / "drops_arm")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(u, ts, None, tx, "en") for u, ts, tx in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    # batch 1: A first seen at t0 (watermark is 0 during this batch)
+    drop([("u1", t0, "doc A")])
+    # batch 2: unrelated C advances the watermark to ~t0+2h50m; A gets no
+    # input rows, so only the timeout decides whether its state survives
+    drop([("u2", t0 + dt.timedelta(hours=3), "doc C")])
+    # batch 3: dup of A at t0+4h — well inside the 24h TTL
+    drop([("u3", t0 + dt.timedelta(hours=4), "doc A")])
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = SI.streaming_first_seen(stream, watermark="10 minutes", state_ttl="24 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_arm"))
+        .trigger(availableNow=True)
+        .format("memory").queryName("arm_dedup").start()
+    )
+    q.awaitTermination(180)
+    urls = sorted(r.url for r in spark.table("arm_dedup").collect())
+    # u3 (A dup, inside TTL) must stay suppressed
+    assert urls == ["u1", "u2"], urls

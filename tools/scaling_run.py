@@ -53,7 +53,23 @@ def _calibrate():
         a = _np.tanh(a @ a.T / 400.0)
     return round((time.time() - t) * 1000, 1)
 calib_ms = _calibrate()
-spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+# SCALING_MASTER=spark://... runs the identical job on a standalone
+# cluster (multi-executor-JVM mode, tools/scaling_executors.py); default
+# is the in-process local[N] thread mode
+master = os.environ.get("SCALING_MASTER", f"local[{cpus}]")
+extra = {}
+if master.startswith("spark://"):
+    extra = {
+        "spark.executor.cores": "1",
+        "spark.executor.memory": os.environ.get("SCALING_EXEC_MEM", "4g"),
+        "spark.cores.max": str(cpus),
+        # executor python workers need the engine package (the spark-submit
+        # path ships it via --py-files; for this harness the repo path is
+        # local to every executor on the one-host cluster)
+        "spark.executorEnv.PYTHONPATH": "/root/repo",
+    }
+spark = get_spark(app_name=f"scale-{cpus}", master=master,
+                  shuffle_partitions=cpus * 2, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 # warm every python worker (numpy/pandas imports, Arrow setup) BEFORE the
 # clock starts: worker spool-up is a fixed per-executor cost, not a
