@@ -310,3 +310,88 @@ def test_decode_tile_external_store_resume():
     assert tile.shape == (h, w, 4)
     assert np.abs(tile[:, :, :3].astype(int) - ref.astype(int)).max() <= 4
     assert np.array_equal(tile[:, :, 3].ravel(), alpha)
+
+
+def test_png_adaptive_filters_smaller_and_lossless():
+    """FilterType::Adaptive parity (src/processor.rs:543-547): per-scanline
+    MSAD filter choice must roundtrip losslessly, use non-zero filters on
+    smooth content, and never beat filter-0 on size by being wrong."""
+    import numpy as np
+
+    grad = np.dstack([
+        np.add.outer(np.arange(64), np.arange(64)).astype(np.uint8),
+        np.full((64, 64), 255, np.uint8),
+    ])
+    e0 = codecs.png_encode(grad, adaptive=False)
+    e1 = codecs.png_encode(grad)
+    assert np.array_equal(codecs.png_decode(e1), grad)
+    assert len(e1) < len(e0), "adaptive filters must shrink smooth tiles"
+    # mixed content exercises several filter types in one image
+    rng = np.random.default_rng(1)
+    mixed = np.vstack([
+        grad[:32], rng.integers(0, 255, (32, 64, 2), dtype=np.uint8)
+    ])
+    enc = codecs.png_encode(mixed)
+    assert np.array_equal(codecs.png_decode(enc), mixed)
+    raw_filters = set()
+    import struct as _s
+    import zlib as _z
+    pos, idat = 8, b""
+    while pos < len(enc):
+        (ln,) = _s.unpack(">I", enc[pos:pos + 4])
+        if enc[pos + 4:pos + 8] == b"IDAT":
+            idat += enc[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    rows = np.frombuffer(_z.decompress(idat), np.uint8).reshape(64, 1 + 128)
+    raw_filters = set(rows[:, 0].tolist())
+    assert len(raw_filters) >= 2, f"expected mixed filters, got {raw_filters}"
+
+
+def test_jpeg_420_encode_roundtrip_and_interchange():
+    """Write-side 4:2:0 (the reference's jpeg-encoder crate default,
+    src/processor.rs:528-539): our subsampled bytes decode pixel-close in
+    our own decoder, come out smaller than 4:4:4, and — when a JDK is
+    present — decode in Java ImageIO (libjpeg) within the same tolerance."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from freemap_tiler_spark.functions import jpeg
+
+    x = np.linspace(0, 255, 96)
+    img = np.stack(np.meshgrid(x, x)[:2] + [np.add.outer(x, x) / 2], axis=2
+                   ).astype(np.uint8)
+    e444 = jpeg.encode(img, 85, subsampling="444")
+    e420 = jpeg.encode(img, 85, subsampling="420")
+    assert len(e420) < len(e444)
+    for enc in (e420, jpeg.encode(img[:83, :91], 85, subsampling="420")):
+        dec = jpeg.decode(enc)
+        ref = img[: dec.shape[0], : dec.shape[1]]
+        assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 8
+
+    if shutil.which("javac") and shutil.which("java"):
+        import os
+        import struct
+
+        d = tempfile.mkdtemp()
+        open(os.path.join(d, "our.jpg"), "wb").write(e420)
+        open(os.path.join(d, "Dec.java"), "w").write(
+            'import javax.imageio.ImageIO; import java.awt.image.BufferedImage;'
+            'import java.io.*;\n'
+            'public class Dec { public static void main(String[] a) throws Exception {\n'
+            'BufferedImage b = ImageIO.read(new File(a[0]));\n'
+            'DataOutputStream o = new DataOutputStream(new BufferedOutputStream('
+            'new FileOutputStream(a[1])));\n'
+            'o.writeShort(b.getHeight()); o.writeShort(b.getWidth());\n'
+            'for (int y=0;y<b.getHeight();y++) for (int x=0;x<b.getWidth();x++){'
+            'int v=b.getRGB(x,y);o.writeByte((v>>16)&255);o.writeByte((v>>8)&255);'
+            'o.writeByte(v&255);} o.close(); }}\n')
+        subprocess.run(["javac", "Dec.java"], cwd=d, check=True)
+        subprocess.run(["java", "Dec", "our.jpg", "out.rgb"], cwd=d, check=True)
+        raw = open(os.path.join(d, "out.rgb"), "rb").read()
+        h, w = struct.unpack(">HH", raw[:4])
+        ref = np.frombuffer(raw[4:], np.uint8).reshape(h, w, 3)
+        assert (h, w) == img.shape[:2]
+        assert np.abs(ref.astype(int) - img.astype(int)).max() <= 8

@@ -109,6 +109,18 @@ def main() -> None:
     check("minhash_lsh_dedup: bucket equi-join, no cartesian", p, ["Join"],
           ["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 11. SRP ANN: id-only bucket rows into the candidate join (r4) — the
+    # raw embedding never enters a shuffle exchange; candidate-id joins
+    # broadcast; no cartesian anywhere
+    from freemap_tiler_spark.operators import similarity as _sim
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    pr = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+    p = plan_of(_sim.ann_topk(pr, e, dim=64, k=5, n_planes=6, n_tables=4,
+                              multiprobe=1))
+    check("ann_topk: broadcast candidate re-attach, no cartesian", p,
+          ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     report.append(f"\nFAILURES: {failures or 'none'}")
     out = "\n".join(report)
     with open("BENCH/explain_audit.md", "w") as f:
