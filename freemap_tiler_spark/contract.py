@@ -2013,6 +2013,82 @@ SELECT * FROM (
 """
 
 
+def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash compound: signatures ∪ pigeonhole near-dup pairs
+    (src-tagged; frees a registry slot for dedup_components under the
+    driver's 50-row record cap)."""
+    s = q_simhash(spark, sf_dir).select(
+        F.lit("sig").alias("src"), F.col("doc_id").cast("bigint").alias("k1"),
+        F.lit(0).cast("bigint").alias("k2"), F.col("simhash").cast("bigint").alias("val"))
+    p = q_simhash_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("src"), F.col("id_a").cast("bigint").alias("k1"),
+        F.col("id_b").cast("bigint").alias("k2"), F.col("hamming").cast("bigint").alias("val"))
+    return s.unionByName(p).orderBy("src", "k1", "k2")
+
+
+def _sql_simhash_all() -> str:
+    return f"""
+SELECT * FROM (
+  SELECT 'sig' AS src, CAST(doc_id AS BIGINT) AS k1, CAST(0 AS BIGINT) AS k2,
+         CAST(simhash AS BIGINT) AS val
+  FROM ({_sql_simhash()}) s
+  UNION ALL
+  SELECT 'pair' AS src, CAST(id_a AS BIGINT) AS k1, CAST(id_b AS BIGINT) AS k2,
+         CAST(hamming AS BIGINT) AS val
+  FROM ({_sql_simhash_pairs()}) p
+) ORDER BY src, k1, k2
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components over the verified MinHash-LSH
+    near-dup pairs (the CLUSTER step of dedup: keep one doc per
+    component).  Alternating Large-Star/Small-Star in DataFrame ops
+    (operators/dedup.connected_components); every doc in the planted
+    corpus gets a component id (= the smallest doc_id it transitively
+    duplicates; isolated docs label themselves).  Oracle: recursive-CTE
+    transitive closure + MIN over the SAME pair SQL — an unmerged pair,
+    a wrong root, or a dropped singleton all fail the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 10000000)
+    )
+    pairs = dedup.jaccard_verify(
+        dedup.minhash_lsh_pairs(planted, num_hashes=8, bands=4), planted, threshold=0.8
+    )
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    all_ids = planted.select(F.col("doc_id").cast("long").alias("node")).distinct()
+    return (
+        all_ids.join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+        .orderBy("node")
+    )
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE
+lsh AS (SELECT id_a, id_b FROM ({_sql_minhash_lsh_dedup()}) t),
+docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         UNION ALL
+         SELECT CAST(doc_id + 10000000 AS BIGINT) FROM documents WHERE doc_id % 10 = 0),
+edges AS (
+  SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b FROM lsh
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM lsh
+  UNION
+  SELECT doc_id, doc_id FROM docs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, CAST(MIN(b) AS BIGINT) AS component
+FROM reach GROUP BY a ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2045,7 +2121,8 @@ QUERIES = {
     "text_metrics": q_text_metrics,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
-    "simhash": q_simhash,
+    "simhash": q_simhash_all,
+    "dedup_components": q_dedup_components,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "similarity_topk": q_similarity_topk,
@@ -2057,7 +2134,6 @@ QUERIES = {
     "geojson_parse": q_geojson_parse,
     "sector_in_ancestor": q_sector_in_ancestor,
     "reproject_rings": q_reproject_rings,
-    "simhash_pairs": q_simhash_pairs,
     "codec_roundtrip": q_codec_roundtrip,
     "mask_nodata": q_mask_nodata,
     "empty_markers": q_empty_markers,
@@ -2100,7 +2176,8 @@ def oracle_sql() -> dict[str, str]:
         "text_metrics": _sql_text_metrics(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "minhash_signatures": _sql_minhash_signatures(),
-        "simhash": _sql_simhash(),
+        "simhash": _sql_simhash_all(),
+        "dedup_components": _sql_dedup_components(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
         "similarity_topk": SQL_SIMILARITY_TOPK,
@@ -2112,7 +2189,6 @@ def oracle_sql() -> dict[str, str]:
         "geojson_parse": _sql_geojson_parse(),
         "sector_in_ancestor": _sql_sector_in_ancestor(),
         "reproject_rings": _sql_reproject_rings(),
-        "simhash_pairs": _sql_simhash_pairs(),
         "codec_roundtrip": _sql_codec_roundtrip(),
         "mask_nodata": SQL_MASK_NODATA,
         "empty_markers": _sql_empty_markers(),

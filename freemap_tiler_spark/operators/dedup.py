@@ -268,3 +268,94 @@ def simhash_near_dups(
                 ham.alias("hamming"))
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an edge list — the cluster
+    step of near-duplicate dedup (LSH/SimHash emit PAIRS; a training-data
+    pipeline keeps ONE document per component).  Alternating Large-Star /
+    Small-Star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): every round is two groupBy-min + equi-join passes
+    over the edge set, no collect_list of neighborhoods, so hot nodes
+    never materialize their adjacency in one task.  Converges in
+    O(log^2 n) rounds (O(log n) in practice); per-round edge count is
+    monotonically driven toward the final star graph.
+
+    Returns (node, component) with component == the smallest node id in
+    the node's component — deterministic across runs and cluster sizes.
+    Nodes appearing only as isolated (no edges) are absent; callers union
+    self-labels for their full id universe.
+
+    100 TB shape: each round = 2 shuffles on node id; each round's edge
+    set is localCheckpoint'd — iterative DataFrame plans otherwise nest
+    the whole history and the Catalyst tree grows exponentially with
+    rounds (plan-size OOM long before data size matters).  On a cluster
+    where executor loss during the (short) iteration matters, set a
+    reliable spark.checkpoint.dir and swap localCheckpoint for
+    checkpoint.  Convergence is a deterministic (count, xor-of-hash)
+    digest, never a driver collect of edges.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    cur = e.localCheckpoint(eager=True)
+    def _digest(df):
+        # bit_xor digest: order-insensitive, overflow-free under ANSI mode
+        return df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).first()
+
+    digest = _digest(cur)
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            df.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        sym = _sym(cur)
+        # Large-Star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u})
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        big = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ls = _canon(big.unionAll(m.select(F.col("u"), F.col("m").alias("v"))))
+        # Small-Star: u and its smaller neighbors link to their minimum
+        sym2 = _sym(ls)
+        sm = sym2.where(F.col("v") < F.col("u"))
+        m2 = sm.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            sm.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(m2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        nxt = _canon(small).localCheckpoint(eager=True)
+        d2 = _digest(nxt)
+        cur = nxt
+        if (d2["n"], d2["h"]) == (digest["n"], digest["h"]):
+            break
+        digest = d2
+    # star graph: component of a node = its (unique) smaller endpoint;
+    # component roots label themselves
+    sym = _sym(cur)
+    labels = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    return labels.select(F.col("u").alias("node"), "component")

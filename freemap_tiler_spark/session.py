@@ -21,8 +21,12 @@ def get_spark(
 ) -> SparkSession:
     # pin BLAS to one thread per task: Spark owns the parallelism; unpinned
     # OpenBLAS would let every Python worker fan out to all machine cores,
-    # destroying task-level scaling accounting (and oversubscribing at 32x32)
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    # destroying task-level scaling accounting (and oversubscribing at 32x32).
+    # os.environ covers local mode (python workers are driver children);
+    # spark.executorEnv.* covers cluster mode (workers are EXECUTOR
+    # children and inherit the worker JVM's env, not the driver's)
+    _blas_vars = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+    for var in _blas_vars:
         os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -53,6 +57,8 @@ def get_spark(
                 if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    for var in _blas_vars:
+        b = b.config(f"spark.executorEnv.{var}", os.environ[var])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -255,3 +255,48 @@ def test_srp_id_only_candidate_join_shuffle(spark):
     assert new_set == old_set
     assert bytes_old >= 4 * max(bytes_new, 1), (
         f"id-only join should cut shuffle >=4x: old={bytes_old} new={bytes_new}")
+
+
+def test_connected_components_vs_union_find(spark):
+    """Alternating star CC must match a driver-side union-find on random
+    graphs (chains, triangles, singletons, hubs), with deterministic
+    min-id component labels."""
+    import random
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed in (0, 1, 2):
+        r = random.Random(seed)
+        n = 60
+        edges = [(r.randrange(n), r.randrange(n)) for _ in range(40)]
+        edges = [(a, b) for a, b in edges if a != b]
+        exp = uf_components(edges)
+        # canonical min-label per component
+        roots = {}
+        for node, root in exp.items():
+            roots.setdefault(root, []).append(node)
+        want = {}
+        for members in roots.values():
+            m = min(members)
+            for x in members:
+                want[x] = m
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = dict(
+            (r_.node, r_.component)
+            for r_ in dedup.connected_components(df).collect()
+        )
+        assert got == want, f"seed {seed}: {got} != {want}"

@@ -82,8 +82,14 @@ class Cluster:
         ))
         _wait_port(MASTER_PORT)
         url = f"spark://127.0.0.1:{MASTER_PORT}"
+        # taskset pins the Worker JVM — and every executor JVM + python
+        # worker it forks — to exactly `cores` host CPUs, so the N-core
+        # side cannot leak extra cores through unpinned children (the
+        # driver and master stay unpinned: on a real cluster the driver
+        # is not one of the N executors)
         self.procs.append(subprocess.Popen(
-            ["java", "-Xmx1g", "-cp", cp,
+            ["taskset", "-c", f"0-{self.cores - 1}",
+             "java", "-Xmx1g", "-cp", cp,
              "org.apache.spark.deploy.worker.Worker",
              "-c", str(self.cores), "-m", self.mem,
              "--webui-port", "8090", url],
