@@ -434,3 +434,185 @@ def embedding_near_dups(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 8,
+):
+    """Deterministic product-quantization codebooks: the ``sample``
+    lowest-id corpus vectors (reproducible across runs/cluster sizes),
+    L2-normalized, split into ``m`` subspaces of dim/m; per-subspace
+    k-means (``ks`` centroids, seeded from the first ks distinct sample
+    rows, ``iters`` Lloyd steps in numpy — the codebook is tiny:
+    m x ks x dim/m floats, always driver-side).  On unit vectors,
+    squared-L2 ADC ranking is monotone with cosine (d^2 = 2 - 2cos)."""
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    d_sub = dim // m
+    rows = (
+        corpus.orderBy(corpus_id).limit(sample).select(vec_col).collect()
+    )
+    v = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    books = np.empty((m, ks, d_sub), dtype=np.float64)
+    for s in range(m):
+        x = v[:, s * d_sub:(s + 1) * d_sub]
+        cents = x[:ks].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ks):
+                sel = x[a == c]
+                if len(sel):
+                    cents[c] = sel.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one Arrow kernel; per batch, one
+    (rows, d_sub) x (d_sub, ks) distance computation per subspace.  The
+    uint8-sized code row (m bytes) is the 100-TB point: a 768-dim float
+    corpus compresses ~384x before the candidate scoring pass."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, d_sub = books.shape
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                x = v[:, s * d_sub:(s + 1) * d_sub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+                d2 = -2.0 * (x @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({corpus_id: pdf[corpus_id], "codes": list(codes)})
+
+    return corpus.select(corpus_id, vec_col).mapInPandas(
+        _enc, f"`{corpus_id}` {id_type}, codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int = 64,
+    probe_id: str = "probe_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): IVF coarse cells bound the
+    candidate set (equi-join on centroid_id, never all-pairs), PQ codes +
+    per-probe ADC lookup tables score candidates WITHOUT touching raw
+    vectors, and only the ``rerank`` best ADC candidates per probe
+    re-attach vectors for the exact cosine re-rank.
+
+    100-TB shape: the scoring join moves (id, centroid_id, m-byte code)
+    rows; raw vectors enter exactly one broadcast-candidate re-attach
+    join of ~rerank x |probes| rows (same pattern as ann_topk)."""
+    books = pq_train_codebooks(corpus, dim, m, ks, corpus_id, vec_col)
+    cents = ivf_build_centroids(corpus, dim, n_centroids, corpus_id, vec_col)
+    co = ivf_assign(
+        pq_encode(corpus, books, corpus_id, vec_col).join(
+            corpus.select(corpus_id, vec_col), corpus_id
+        ),
+        cents, corpus_id, vec_col, nprobe=1,
+    ).select(corpus_id, "codes", "centroid_id")
+    pr = ivf_assign(
+        probes.select(F.col(probe_id), F.col(vec_col).alias("_pv")),
+        cents, probe_id, "_pv", nprobe=nprobe,
+    )
+
+    import numpy as np
+
+    books_arr = np.asarray(books, dtype=np.float64)
+    m_, ks_, d_sub = books_arr.shape
+
+    def _adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_pid, out_cid, out_d = [], [], []
+            for pid, g in pdf.groupby(probe_id, sort=False):
+                q = np.asarray(g["_pv"].iloc[0], np.float64)
+                q /= max(np.linalg.norm(q), 1e-12)
+                # ADC table: m x ks partial squared distances
+                tab = np.empty((m_, ks_))
+                for s in range(m_):
+                    qs = q[s * d_sub:(s + 1) * d_sub]
+                    tab[s] = ((books_arr[s] - qs[None, :]) ** 2).sum(axis=1)
+                codes = np.asarray([np.asarray(c, np.int64) for c in g["codes"]])
+                d2 = tab[np.arange(m_)[None, :], codes].sum(axis=1)
+                out_pid.extend([pid] * len(g))
+                out_cid.extend(g[corpus_id].tolist())
+                out_d.extend(d2.tolist())
+            yield pd.DataFrame({probe_id: out_pid, corpus_id: out_cid, "adc": out_d})
+
+    # candidates: probes visit their nprobe cells; the join moves code
+    # rows only.  repartition by probe so each ADC batch holds whole
+    # probe groups (table built once per probe per batch).
+    cand = (
+        pr.join(co, "centroid_id")
+        .select(probe_id, "_pv", corpus_id, "codes")
+        .dropDuplicates([probe_id, corpus_id])
+        .repartition(F.col(probe_id))
+    )
+    id_t = corpus.schema[corpus_id].dataType.simpleString()
+    pid_t = probes.schema[probe_id].dataType.simpleString()
+    scored = cand.mapInPandas(
+        _adc, f"`{probe_id}` {pid_t}, `{corpus_id}` {id_t}, adc double"
+    )
+    w_adc = Window.partitionBy(probe_id).orderBy("adc", corpus_id)
+    short = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= rerank)
+        .select(probe_id, corpus_id)
+    )
+    rejoined = (
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(short), corpus_id)
+        .join(F.broadcast(probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))),
+              probe_id)
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), corpus_id)
+    return (
+        rejoined.withColumn("cos", cosine("_pv", "_cv"))
+        .select(probe_id, corpus_id, "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, corpus_id, "cos", "rank")
+    )

@@ -300,3 +300,32 @@ def test_connected_components_vs_union_find(spark):
             for r_ in dedup.connected_components(df).collect()
         )
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_ivfpq_topk_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ: ADC scoring over m-byte codes + exact short-list re-rank
+    must hit the same per-probe recall floor as plain IVF, produce
+    deterministic codes across runs, and never plan a cartesian join."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pr = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+
+    books = similarity.pq_train_codebooks(e, dim=64, m=8, ks=16)
+    c1 = {r.vec_id: tuple(r.codes) for r in similarity.pq_encode(e, books).collect()}
+    c2 = {r.vec_id: tuple(r.codes) for r in similarity.pq_encode(e, books).collect()}
+    assert c1 == c2 and len(c1) == e.count()
+    assert all(len(v) == 8 and max(v) < 16 for v in c1.values())
+
+    pq = similarity.ivfpq_topk(pr, e, dim=64, k=5, m=8, ks=16,
+                               n_centroids=16, nprobe=6, rerank=64)
+    plan = pq._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {}
+    for r in pq.collect():
+        got.setdefault(r.probe_id, set()).add(r.vec_id)
+    exact = {}
+    for r in similarity.brute_force_topk(pr, e, k=5).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+    assert set(got) == set(exact)
+    for p in exact:
+        assert len(got[p] & exact[p]) >= 2, f"probe {p} recall floor"
