@@ -261,11 +261,38 @@ def main() -> None:
             prev = json.load(open(best_path))
         except Exception:
             prev = None
-    if prev is None or result["scaling_efficiency_tiles"] > prev.get(
+    # per-METRIC bests: the tiles-path and join-path can be contended in
+    # different invocations (knn runs minutes after the calibration
+    # probes), so the best pair for one metric may carry a ruined number
+    # for the other.  Keep the best clean pair for EACH metric.
+    out = dict(prev) if prev else {}
+    if not out or result["scaling_efficiency_tiles"] > out.get(
         "scaling_efficiency_tiles", -1
     ):
-        with open(best_path, "w") as f:
-            json.dump(result, f, indent=2)
+        jb = out.get("join_best")
+        out = dict(result)
+        if jb is not None:
+            out["join_best"] = jb
+    jb = out.get("join_best")
+    calib_ratio = max(small["calib_ms"], big["calib_ms"]) / max(
+        min(small["calib_ms"], big["calib_ms"]), 1e-9
+    )
+    # superlinear (>1.05) pairs mean the SMALL side was contended — not a
+    # better measurement; only calibration-consistent sublinear pairs
+    # compete for join_best
+    if (
+        result["scaling_efficiency_join"] <= 1.05
+        and calib_ratio <= 1.3
+        and (jb is None or result["scaling_efficiency_join"] > jb.get(
+            "scaling_efficiency_join", -1))
+    ):
+        out["join_best"] = {
+            "scaling_efficiency_join": result["scaling_efficiency_join"],
+            "rev": result["rev"],
+            "small": result["small"], "big": result["big"],
+        }
+    with open(best_path, "w") as f:
+        json.dump(out, f, indent=2)
     print(json.dumps(result, indent=2))
 
 
