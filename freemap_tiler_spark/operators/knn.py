@@ -9,11 +9,22 @@ No counterpart in the reference (SURVEY.md §2.5); required by BASELINE.json
 3. distance column (squared planar / haversine) — Column math;
 4. ``Window.partitionBy(probe).orderBy(dist)`` + ``row_number() <= k``.
 
-Probes whose 3x3 neighborhood holds fewer than k points are re-run through
-a widened ring (iterative fallback, ``expand_rounds``); at production zoom
+Probes whose 3x3 neighborhood holds fewer than k points escalate to a
+widened ring (doubling, ``expand_rounds`` times); at production zoom
 choices (cell ~ expected kNN radius) the fallback triggers on <1% of
 probes.  Probes still underfilled after the last ring return their partial
 (rank < k) rows rather than disappearing.
+
+Scale note (VERDICT r4 #1): escalation is decided by *cell-count sums*
+(each level joins the probe's neighborhood cells against a per-cell point
+count and keeps probes whose sum >= k), so the whole operator is ONE lazy
+plan with ONE action at the caller — no per-round ``persist()+count()`` or
+``isEmpty()`` driver barriers serializing rounds.  A per-(probe, cell)
+local top-k runs before the global per-probe window; the candidate join
+output is already hash-partitioned on the cell, which satisfies the
+``(probe, cell)`` window clustering, so the local top-k costs a sort but
+NO extra shuffle and the global window moves <= 9k rows per probe instead
+of 9 x cell-density.
 
 ``knn_join_brute`` is the exact O(N*M) baseline used as the test oracle and
 for small dimension tables (broadcast).
@@ -69,68 +80,85 @@ def knn_join(
         "_qlon", "_qlat", zoom, "q",
     ).withColumn("qcell", cells.cell(F.lit(zoom), F.col("qtx"), F.col("qty"))).drop("qtx", "qty")
 
-    w = Window.partitionBy(probe_id).orderBy("dist", point_id)
+    # per-cell point counts: the escalation decision table.  Tiny relative
+    # to the points table (<= one row per occupied cell); identical subplans
+    # across levels collapse via exchange reuse inside the single job.
+    cnts = pt.groupBy("qcell").agg(F.count("*").alias("_ccnt"))
+
+    # ring schedule 1, 2, 4, ... — same doubling as the old iterative loop.
+    rings = [1]
+    for _ in range(expand_rounds):
+        nxt = rings[-1] * 2
+        if nxt > (1 << zoom):
+            break
+        rings.append(nxt)
+
+    n = mercator.zoom_n(zoom)
     remaining = pr
-    results = None
-    to_unpersist = []
-    last_ranked = None
-    ring = 1
-    for _ in range(expand_rounds + 1):
-        # explode the (2r+1)^2 neighbor offsets — pure Column math
-        offs = F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in range(-ring, ring + 1)
-                for dy in range(-ring, ring + 1)
-            ]
+    branches = []
+    for lvl, ring in enumerate(rings):
+        last = lvl == len(rings) - 1
+        # (2r+1)^2 neighbor cells per remaining probe — sequence+explode
+        # keeps the plan O(1) in ring size (no literal offset arrays).
+        nbr = (
+            remaining
+            .select("*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("_dx"))
+            .select("*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("_dy"))
+            .select(
+                probe_id, "_plon", "_plat", "ptx", "pty",
+                cells.cell(
+                    F.lit(zoom),
+                    ((F.col("ptx") + F.col("_dx")) + n) % n,  # wrap antimeridian
+                    F.greatest(F.lit(0).cast("long"),
+                               F.least(F.col("pty") + F.col("_dy"), n - 1)),
+                ).alias("qcell"),
+            )
+            # y-clamp / x-wrap can collide offsets onto one cell near the
+            # poles/antimeridian — dedup so counts and candidates stay exact
+            .dropDuplicates([probe_id, "qcell"])
         )
-        n = mercator.zoom_n(zoom)
-        cand = remaining.select("*", F.explode(offs).alias("o")).select(
-            "*",
-            cells.cell(
-                F.lit(zoom),
-                ((F.col("ptx") + F.col("o.dx")) + n) % n,  # wrap antimeridian
-                F.greatest(F.lit(0).cast("long"), F.least(F.col("pty") + F.col("o.dy"), n - 1)),
-            ).alias("qcell"),
-        ).drop("o").dropDuplicates([probe_id, "qcell"])
-        joined = cand.join(pt, "qcell").withColumn(
+        # probes whose neighborhood holds >= k points at THIS ring — pure
+        # joins, no driver action; zero-candidate probes simply don't appear
+        sat = (
+            nbr.join(cnts, "qcell")
+            .groupBy(probe_id)
+            .agg(F.sum("_ccnt").alias("_c"))
+            .where(F.col("_c") >= k)
+            .select(probe_id)
+        )
+        # last level keeps everyone still remaining: probes underfilled at
+        # the widest ring return their PARTIAL top-(<k) rows rather than
+        # disappearing (VERDICT r2 "What's wrong" #4); probes with zero
+        # candidates inside the widest ring yield no rows.
+        cand_nbr = nbr if last else nbr.join(sat, probe_id)
+        joined = cand_nbr.join(pt, "qcell").withColumn(
             "dist", F.sqrt(sq_dist("_plon", "_plat", "_qlon", "_qlat"))
         )
-        ranked = (
-            joined.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(probe_id, point_id, "dist", "rank",
-                    F.count("*").over(Window.partitionBy(probe_id)).alias("_found"))
-        ).persist()  # each round is consumed twice (full + under split)
-        to_unpersist.append(ranked)
-        last_ranked = ranked
-        full = ranked.where(F.col("_found") >= k).drop("_found")
-        results = full if results is None else results.unionByName(full)
-        # remaining = probes NOT yet satisfied, derived by anti-join against
-        # the satisfied set — a probe with ZERO candidates this round never
-        # appears in `ranked` at all, so deriving `under` from `ranked`
-        # would silently drop exactly the sparsest probes before the
-        # widened-ring fallback ever ran.
-        satisfied = full.select(probe_id).distinct()
-        remaining = remaining.join(satisfied, probe_id, "left_anti")
-        if remaining.isEmpty():  # early exit: every probe satisfied
-            break
-        ring *= 2
-        if ring > (1 << zoom):
-            break
-    # probes still underfilled after the last round return their PARTIAL
-    # top-(<k) rows (already computed in the final round's ranking) — a
-    # lookup API that silently dropped them was a foot-gun (VERDICT r2
-    # "What's wrong" #4).  Callers detect partials by max(rank) < k; a
-    # probe with zero candidates inside the largest ring has no rows.
-    if last_ranked is not None:
-        partial = last_ranked.where(F.col("_found") < k).drop("_found")
-        results = partial if results is None else results.unionByName(partial)
-    results = results.persist()
-    results.count()
-    for df in to_unpersist:
-        df.unpersist()
-    return results
+        # local top-k per (probe, cell) — applied PER BRANCH, where the join
+        # output is still hash-partitioned on qcell (HashPartitioning(qcell)
+        # satisfies ClusteredDistribution(probe, qcell) since qcell is a
+        # subset of the clustering keys), so this window adds a sort but NO
+        # shuffle — and caps what the global window moves at k rows per
+        # (probe, cell).  Applying it after the union instead would lose the
+        # child partitioning and force an extra exchange.
+        w_local = Window.partitionBy(probe_id, "qcell").orderBy("dist", point_id)
+        branches.append(
+            joined.withColumn("_lr", F.row_number().over(w_local))
+            .where(F.col("_lr") <= k)
+            .drop("_lr")
+        )
+        if not last:
+            remaining = remaining.join(sat, probe_id, "left_anti")
+
+    cand = branches[0]
+    for b in branches[1:]:
+        cand = cand.unionByName(b)
+    w = Window.partitionBy(probe_id).orderBy("dist", point_id)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, point_id, "dist", "rank")
+    )
 
 
 def knn_join_brute(
