@@ -329,3 +329,36 @@ def test_ivfpq_topk_recall_and_determinism(spark, sf_dir):
     assert set(got) == set(exact)
     for p in exact:
         assert len(got[p] & exact[p]) >= 2, f"probe {p} recall floor"
+
+
+def test_embedding_hot_bucket_star_cap(spark):
+    """VERDICT r4 #2: a planted flood of 1000 identical embeddings lands in
+    ONE SRP bucket per table; the hot-bucket cap must emit O(k) pairs (star
+    + chain), not k^2/2, and the pairs must still connect one component."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    n, dim = 1000, 16
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=dim)
+    v = (v / np.linalg.norm(v)).astype("float32").tolist()
+    rows = [(i, v) for i in range(n)]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    emb = spark.createDataFrame(rows, schema)
+    pairs = similarity.embedding_near_dups(
+        emb, dim=dim, threshold=0.99, n_planes=6, n_tables=4,
+        multiprobe=0, max_bucket_size=64,
+    )
+    got = pairs.select("id_a", "id_b").collect()
+    # O(k): per table one star (n-1) + one chain (n-2), deduped across the
+    # 4 tables (identical membership -> identical pairs) = 2n-3 total
+    assert len(got) == 2 * n - 3
+    star = {(r.id_a, r.id_b) for r in got if r.id_a == 0}
+    assert star == {(0, i) for i in range(1, n)}
+    # still one component through the dedup cluster step
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n
