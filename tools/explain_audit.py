@@ -98,6 +98,31 @@ def main() -> None:
     check("pip_join_cells: cell equi-join, no cartesian", p, ["Join"],
           ["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 8b. layer mode (VERDICT r4 #3): the per-polygon ring arrays reach
+    # boundary candidates through a plain equi-join on the conditional
+    # _rpid key — never a forced broadcast of the whole rings table.
+    # The tree string (keys on the operator line) is needed here; the
+    # formatted explain separates keys from the operator name.  The
+    # threshold is dropped for the check: at sf0.001 Catalyst would
+    # legitimately auto-broadcast the tiny rings — the invariant under
+    # test is that no FORCED broadcast hint survives a large layer.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        tree = (
+            contract.q_pip_join_cells(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    bad_rings = [
+        line for line in tree.splitlines()
+        if "BroadcastHashJoin" in line and "_rpid" in line
+    ]
+    check("pip_join_cells: rings join is NOT broadcast (layer mode)",
+          "_rpid" if not bad_rings else "BROADCAST_RINGS", ["_rpid"],
+          ["BROADCAST_RINGS"])
+
     # 9. embedding near-dups: bucketed self-join stays an equi-join on
     # (tbl, bkt) — the id inequality is a post-filter, not a join driver
     p = plan_of(contract.q_embedding_near_dups(spark, sf))
