@@ -316,8 +316,15 @@ def decode_literals(block: bytes, pos: int, ctx: dict):
         else:
             rsize = (b0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
             pos += 3
+        # ADVICE r4 #5: Python slicing past-the-end is silent — a truncated
+        # frame would return short literals instead of failing like the
+        # compressed paths do
         if btype == 0:
+            if pos + rsize > len(block):
+                raise CorruptError("raw literals truncated")
             return bytes(block[pos:pos + rsize]), pos + rsize
+        if pos >= len(block):
+            raise CorruptError("RLE literal byte missing")
         return bytes(block[pos:pos + 1]) * rsize, pos + 1
     # Compressed (2) / Treeless (3)
     if sf == 0:

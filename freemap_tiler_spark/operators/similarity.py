@@ -210,6 +210,7 @@ def ann_topk(
     n_planes: int = 10,
     n_tables: int = 4,
     multiprobe: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Approximate top-k: SRP bucket equi-join over n_tables tables, exact
     cosine re-rank of the candidate union.  Recall grows with n_tables and
@@ -223,7 +224,14 @@ def ann_topk(
     (tbl, bkt) — the candidate equi-join moves 20-byte rows, never the
     n_tables x flips repeated raw vectors.  Vectors re-attach to the
     deduped candidate set via two equi-joins (probe side broadcast-sized
-    by construction; corpus side ships each vector once)."""
+    by construction; corpus side ships each vector once).
+
+    ``broadcast`` (ADVICE r4 #2): the re-attach joins force-broadcast the
+    candidate ids and the probe vectors, assuming candidate volume ~
+    |probes| x n_tables x flips x bucket-occupancy fits in executor
+    memory.  A lookup with a huge probe set (or degenerate buckets)
+    violates that — pass ``broadcast=False`` to fall back to plain
+    shuffle equi-joins instead of hard-failing on a too-large broadcast."""
     pr = srp_bucket_rows(
         probes, probe_id, vec_col, dim, n_planes, n_tables, multiprobe
     )
@@ -241,11 +249,13 @@ def ann_topk(
     # broadcast keeps the corpus re-attach join shuffle-free: AQE's runtime
     # conversion fires only after the corpus map stage has already written
     # its shuffle files.
+    pv = probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))
+    if broadcast:
+        cand_ids, pv = F.broadcast(cand_ids), F.broadcast(pv)
     cand = (
         corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
-        .join(F.broadcast(cand_ids), corpus_id)
-        .join(F.broadcast(probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))),
-              probe_id)
+        .join(cand_ids, corpus_id)
+        .join(pv, probe_id)
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), corpus_id)
     return (
@@ -579,6 +589,7 @@ def ivfpq_topk(
     probe_id: str = "probe_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011): IVF coarse cells bound the
@@ -650,11 +661,17 @@ def ivfpq_topk(
         .where(F.col("_r") <= rerank)
         .select(probe_id, corpus_id)
     )
+    # short-list is <= rerank x |probes| rows by construction; the probe
+    # vectors are probe-sized — both force-broadcast under the same
+    # probe-side-is-small assumption as ann_topk (ADVICE r4 #2: pass
+    # broadcast=False for huge probe sets to shuffle instead)
+    pvec = probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))
+    if broadcast:
+        short, pvec = F.broadcast(short), F.broadcast(pvec)
     rejoined = (
         corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
-        .join(F.broadcast(short), corpus_id)
-        .join(F.broadcast(probes.select(F.col(probe_id), F.col(vec_col).alias("_pv"))),
-              probe_id)
+        .join(short, corpus_id)
+        .join(pvec, probe_id)
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), corpus_id)
     return (

@@ -83,7 +83,14 @@ def streaming_first_seen(
     ``state_ttl=None`` keeps EXACT first-seen semantics, which
     necessarily requires unbounded state (one entry per distinct
     fingerprint, forever) — the declared watermark alone never expires
-    applyInPandasWithState state."""
+    applyInPandasWithState state.
+
+    .. note:: checkpoint compatibility (ADVICE r4 #3): the state schema
+       changed in r4 from ``seen int`` to ``seen int, armed_ms long``.
+       Restarting a query from a checkpoint written by the old schema
+       fails on state deserialization — upgrades across that boundary
+       require a FRESH checkpoint directory (and re-reading the source
+       from the desired offset)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -185,8 +185,13 @@ def main() -> None:
             prev = json.load(open(best_path))
         except Exception:
             prev = None
-    if prev is None or result["scaling_efficiency_tiles"] > prev.get(
-        "scaling_efficiency_tiles", -1
+    # same-rev-only headline (VERDICT r4 "What's wrong" #1): a pair from an
+    # older rev never competes with — or masks — the HEAD measurement
+    if (
+        prev is None
+        or prev.get("rev") != result["rev"]
+        or result["scaling_efficiency_tiles"] > prev.get(
+            "scaling_efficiency_tiles", -1)
     ):
         with open(best_path, "w") as f:
             json.dump(result, f, indent=2)

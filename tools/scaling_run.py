@@ -264,7 +264,26 @@ def main() -> None:
     # per-METRIC bests: the tiles-path and join-path can be contended in
     # different invocations (knn runs minutes after the calibration
     # probes), so the best pair for one metric may carry a ruined number
-    # for the other.  Keep the best clean pair for EACH metric.
+    # for the other.  Keep the best clean pair for EACH metric — but ONLY
+    # among invocations of the SAME rev (VERDICT r4 "What's wrong" #1: a
+    # carried-over pair from an older rev is not a measurement of HEAD).
+    # A previous headline from a different rev is demoted to a clearly
+    # labeled archive key instead of silently competing.
+    archive = (prev or {}).get("archive") or {}
+    if prev and prev.get("rev") != rev:
+        for metric in ("tiles", "join"):
+            key = f"scaling_efficiency_{metric}"
+            src = prev.get("join_best") if metric == "join" and prev.get(
+                "join_best") else prev
+            if src.get(key) is None:
+                continue
+            old = archive.get(metric)
+            if old is None or src[key] > old.get(key, -1):
+                archive[metric] = {
+                    key: src[key], "rev": src.get("rev", prev.get("rev")),
+                    "small": src.get("small"), "big": src.get("big"),
+                }
+        prev = None
     out = dict(prev) if prev else {}
     if not out or result["scaling_efficiency_tiles"] > out.get(
         "scaling_efficiency_tiles", -1
@@ -291,6 +310,12 @@ def main() -> None:
             "rev": result["rev"],
             "small": result["small"], "big": result["big"],
         }
+    if archive:
+        archive["note"] = (
+            "historical bests from EARLIER revs/workloads — kept for "
+            "reference only, NOT the current-rev measurement"
+        )
+        out["archive"] = archive
     with open(best_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(result, indent=2))
