@@ -1233,19 +1233,39 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_warp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11 warp: synthetic raster blocks -> z9 leaf tiles (identity-CRS
-    resample path); keys + payload size (binary payload -> rows-only)."""
+    """F11 warp + S1 real ingestion, compound: the same z9 leaf-tile cover
+    from TWO sources — the synthetic blocks table, and a checked-in
+    GeoTIFF fixture (tiled + Deflate + predictor-2; 2x2 grid of 64px
+    blocks under the identical pixel law and geo-transform) ingested via
+    the binaryFile + numpy splitter (sources/geotiff.py; the reference's
+    src/main.rs:80 GDAL-open path).  Both branches must produce the same
+    keys and the constant 32px RGBA payload length — the oracle is the
+    cover CTE twice with src tags."""
+    import os
+
     from freemap_tiler_spark.operators import raster_ops
+    from freemap_tiler_spark.sources.geotiff import geotiff_blocks
     from freemap_tiler_spark.sources.raster_blocks import raster_blocks
 
-    blocks = raster_blocks(spark, grid=2, width=64, height=64, bands=4)
-    tiles = raster_ops.warp_blocks_to_tiles(blocks, zoom=9, tile_size=32)
-    return tiles.select(
-        cells.cell_zoom("cell").alias("zoom"),
-        cells.cell_x("cell").alias("x"),
-        cells.cell_y("cell").alias("y"),
-        F.length("payload").alias("payload_bytes"),
-    ).orderBy("x", "y")
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "geotiff_law_tiled_deflate_p2.tif",
+    )
+
+    def keys(blocks, src):
+        tiles = raster_ops.warp_blocks_to_tiles(blocks, zoom=9, tile_size=32)
+        return tiles.select(
+            F.lit(src).alias("src"),
+            cells.cell_zoom("cell").alias("zoom"),
+            cells.cell_x("cell").alias("x"),
+            cells.cell_y("cell").alias("y"),
+            F.length("payload").alias("payload_bytes"),
+        )
+
+    synth = keys(raster_blocks(spark, grid=2, width=64, height=64, bands=4),
+                 "synthetic")
+    tif = keys(geotiff_blocks(spark, fixture), "geotiff")
+    return synth.unionByName(tif).orderBy("src", "x", "y")
 
 
 def q_tile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,11 +1839,14 @@ cover AS (
 
 
 def _sql_warp_tiles() -> str:
-    """z9 cover keys + the constant payload of a 32px RGBA tile."""
+    """z9 cover keys + the constant payload of a 32px RGBA tile, once per
+    source branch (synthetic blocks table / ingested GeoTIFF fixture —
+    identical extent and pixel law, so identical covers)."""
     return f"""
-WITH {_sql_warp_cover_cte(9)}
-SELECT 9::BIGINT AS zoom, x, y, 4096::INT AS payload_bytes
-FROM cover ORDER BY x, y
+WITH {_sql_warp_cover_cte(9)},
+srcs AS (SELECT UNNEST(['geotiff', 'synthetic']) AS src)
+SELECT src, 9::BIGINT AS zoom, x, y, 4096::INT AS payload_bytes
+FROM cover CROSS JOIN srcs ORDER BY src, x, y
 """
 
 

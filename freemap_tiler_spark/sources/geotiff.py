@@ -1,0 +1,410 @@
+"""GeoTIFF ingestion — the reference's real input path (src/main.rs:80
+opens one GDAL dataset; this module is the Spark-native equivalent).
+
+A GeoTIFF is already a blocked raster: the IFD declares a tile grid
+(TileWidth/TileLength + TileOffsets/TileByteCounts) or a strip layout
+(RowsPerStrip + StripOffsets/StripByteCounts).  Ingestion maps each
+tile/strip to one row of the engine's blocks schema (see
+``raster_blocks``): the file is read with Spark's ``binaryFile`` source
+and split executor-side by a pure-numpy parser inside ``mapInPandas`` —
+no GDAL, no external libs.  Parallelism is per-FILE (an orthophoto
+mosaic of many GeoTIFFs fans out naturally; a single multi-GB file
+decodes in one task — for that shape, pre-split upstream or raise
+``spark.sql.files.maxPartitionBytes`` won't help because TIFF blocks
+inside one file share an IFD; this is the documented single-file limit).
+
+Emitted blocks are SELF-DESCRIBING: every row has block_x = block_y = 0
+and a per-block ``geo_transform`` translated to the block's own corner —
+exactly equivalent to grid-indexed blocks for the warp (which computes
+the origin as ``gt[0] + (block_x*width + col)*gt[1]``), and it lets edge
+tiles keep their CROPPED true size (TIFF pads edge tiles to the full
+tile size; a grid-indexed row with a non-uniform width would break the
+origin math).
+
+Supported (TIFF 6.0 + OGC GeoTIFF 1.1, both public specs):
+  - classic TIFF, little- or big-endian (BigTIFF: explicit error);
+  - tiled and stripped layouts, PlanarConfiguration=1 (chunky);
+  - Compression 1 (none) and 8/32946 (Deflate/zlib), Predictor 1/2
+    (horizontal differencing);
+  - 8-bit unsigned samples, any SamplesPerPixel (``ensure_alpha`` adds
+    an opaque alpha band when the source has none, matching the
+    reference's RGB-orthophoto + alpha model);
+  - georeferencing from ModelPixelScaleTag (33550) + ModelTiepointTag
+    (33922), axis-aligned; CRS from the GeoKeyDirectory (34735):
+    ProjectedCSTypeGeoKey 3072 / GeographicTypeGeoKey 2048 -> EPSG:n.
+
+``write_geotiff`` is the matching minimal writer (used by the test
+fixtures and handy for sinks); it round-trips through this reader
+byte-exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# TIFF tag ids (TIFF 6.0 §8; GeoTIFF 1.1 §7)
+_T_WIDTH, _T_HEIGHT = 256, 257
+_T_BITS, _T_COMPRESSION = 258, 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = 273, 277, 278, 279
+_T_PLANAR, _T_PREDICTOR = 284, 317
+_T_TILE_W, _T_TILE_H, _T_TILE_OFFSETS, _T_TILE_COUNTS = 322, 323, 324, 325
+_T_SAMPLE_FORMAT = 339
+_T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+class GeoTiffError(ValueError):
+    pass
+
+
+def _read_ifd(buf: bytes) -> dict[int, tuple]:
+    """Parse the first IFD into {tag: (values...)} — classic TIFF only."""
+    if len(buf) < 8:
+        raise GeoTiffError("not a TIFF: too short")
+    bo = buf[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise GeoTiffError("not a TIFF: bad byte-order mark")
+    magic = struct.unpack(e + "H", buf[2:4])[0]
+    if magic == 43:
+        raise GeoTiffError("BigTIFF is not supported (classic TIFF only)")
+    if magic != 42:
+        raise GeoTiffError(f"not a TIFF: magic {magic}")
+    (ifd_off,) = struct.unpack(e + "I", buf[4:8])
+    (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
+    tags: dict[int, tuple] = {}
+    for i in range(n_entries):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", buf[o:o + 8])
+        if typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            raw = buf[o + 8:o + 8 + size]
+        else:
+            (voff,) = struct.unpack(e + "I", buf[o + 8:o + 12])
+            raw = buf[voff:voff + size]
+        if typ in (5, 10):  # rational: pairs of (num, den)
+            base = "I" if typ == 5 else "i"
+            flat = struct.unpack(e + base * (2 * cnt), raw)
+            tags[tag] = tuple(
+                flat[2 * j] / max(flat[2 * j + 1], 1) for j in range(cnt)
+            )
+        elif typ == 2:  # ascii
+            tags[tag] = (raw.rstrip(b"\0").decode("ascii", "replace"),)
+        else:
+            tags[tag] = struct.unpack(e + _TYPE_FMT[typ] * cnt, raw)
+    return tags
+
+
+def _crs_from_geokeys(keys: tuple) -> str:
+    """EPSG code from the GeoKeyDirectory short vector (GeoTIFF 1.1 §7.1)."""
+    if len(keys) < 4:
+        return "EPSG:3857"
+    n = keys[3]
+    found = {}
+    for j in range(n):
+        o = 4 + 4 * j
+        if o + 4 > len(keys):
+            break
+        kid, loc, cnt, val = keys[o:o + 4]
+        if loc == 0:
+            found[kid] = val
+    # projected beats geographic when both present (GeoTIFF §7.2)
+    if found.get(3072):
+        return f"EPSG:{found[3072]}"
+    if found.get(2048):
+        return f"EPSG:{found[2048]}"
+    return "EPSG:3857"
+
+
+def geotiff_meta(buf: bytes) -> dict:
+    """Layout + georeferencing of a GeoTIFF byte buffer (first IFD)."""
+    t = _read_ifd(buf)
+    if _T_WIDTH not in t or _T_HEIGHT not in t:
+        raise GeoTiffError("missing ImageWidth/ImageLength")
+    width, height = t[_T_WIDTH][0], t[_T_HEIGHT][0]
+    spp = t.get(_T_SPP, (1,))[0]
+    bits = t.get(_T_BITS, (8,) * spp)
+    if any(b != 8 for b in bits):
+        raise GeoTiffError(f"only 8-bit samples supported, got {bits}")
+    if t.get(_T_SAMPLE_FORMAT, (1,))[0] != 1:
+        raise GeoTiffError("only unsigned-int samples supported")
+    if t.get(_T_PLANAR, (1,))[0] != 1:
+        raise GeoTiffError("only PlanarConfiguration=1 (chunky) supported")
+    comp = t.get(_T_COMPRESSION, (1,))[0]
+    if comp not in (1, 8, 32946):
+        raise GeoTiffError(f"unsupported Compression={comp} (none/Deflate only)")
+    pred = t.get(_T_PREDICTOR, (1,))[0]
+    if pred not in (1, 2):
+        raise GeoTiffError(f"unsupported Predictor={pred}")
+    if _T_TILE_OFFSETS in t:
+        layout = {
+            "kind": "tiled",
+            "tw": t[_T_TILE_W][0], "th": t[_T_TILE_H][0],
+            "offsets": t[_T_TILE_OFFSETS], "counts": t[_T_TILE_COUNTS],
+        }
+    elif _T_STRIP_OFFSETS in t:
+        layout = {
+            "kind": "strips",
+            "rps": t.get(_T_ROWS_PER_STRIP, (height,))[0],
+            "offsets": t[_T_STRIP_OFFSETS], "counts": t[_T_STRIP_COUNTS],
+        }
+    else:
+        raise GeoTiffError("neither tiled nor stripped layout present")
+    scale = t.get(_T_PIXEL_SCALE)
+    tie = t.get(_T_TIEPOINT)
+    if scale is None or tie is None:
+        raise GeoTiffError(
+            "missing ModelPixelScale/ModelTiepoint (ModelTransformation "
+            "and non-georeferenced TIFFs are not supported)"
+        )
+    # tiepoint (i, j, k, X, Y, Z): raster point (i, j) sits at model (X, Y)
+    i, j = tie[0], tie[1]
+    X, Y = tie[3], tie[4]
+    sx, sy = scale[0], scale[1]
+    gt = [X - i * sx, sx, 0.0, Y + j * sy, 0.0, -sy]
+    return {
+        "width": int(width), "height": int(height), "bands": int(spp),
+        "compression": int(comp), "predictor": int(pred), "layout": layout,
+        "geo_transform": gt,
+        "crs": _crs_from_geokeys(t.get(_T_GEOKEYS, ())),
+    }
+
+
+def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
+    """Horizontal differencing: cumulative sum along columns, mod 256."""
+    return np.cumsum(arr, axis=1, dtype=np.uint64).astype(np.uint8)
+
+
+def _decode_block(buf: bytes, off: int, cnt: int, meta: dict,
+                  h: int, w: int) -> np.ndarray:
+    """One tile/strip payload -> (h, w, bands) u8 (h/w = PADDED size)."""
+    raw = buf[off:off + cnt]
+    if meta["compression"] in (8, 32946):
+        raw = zlib.decompress(raw)
+    nb = meta["bands"]
+    need = h * w * nb
+    if len(raw) < need:
+        raise GeoTiffError(f"short block: {len(raw)} < {need}")
+    arr = np.frombuffer(raw, np.uint8, count=need).reshape(h, w, nb)
+    if meta["predictor"] == 2:
+        arr = _undo_predictor2(arr)
+    return arr
+
+
+def split_blocks(buf: bytes, ensure_alpha: bool = True) -> Iterator[dict]:
+    """Yield blocks-schema dicts (block_x=block_y=0, per-block translated
+    geo_transform) for every tile/strip of a GeoTIFF buffer; edge blocks
+    are cropped to the true image extent (TIFF pads them)."""
+    meta = geotiff_meta(buf)
+    W, H, nb = meta["width"], meta["height"], meta["bands"]
+    gt = meta["geo_transform"]
+    lay = meta["layout"]
+    out_bands = nb + 1 if (ensure_alpha and nb in (1, 3)) else nb
+    if lay["kind"] == "tiled":
+        tw, th = lay["tw"], lay["th"]
+        across = (W + tw - 1) // tw
+        down = (H + th - 1) // th
+        spans = [
+            (tx * tw, ty * th, min(tw, W - tx * tw), min(th, H - ty * th),
+             ty * across + tx, tw, th)
+            for ty in range(down) for tx in range(across)
+        ]
+    else:
+        rps = lay["rps"]
+        down = (H + rps - 1) // rps
+        spans = [
+            (0, sy * rps, W, min(rps, H - sy * rps), sy, W, rps)
+            for sy in range(down)
+        ]
+    for px0, py0, bw, bh, idx, padw, padh in spans:
+        if idx >= len(lay["offsets"]):
+            raise GeoTiffError("block index beyond offsets array")
+        # strips: the LAST strip is stored at its cropped height (TIFF 6.0
+        # strips are not padded vertically); tiles are always full-size
+        store_h = padh if lay["kind"] == "tiled" else bh
+        arr = _decode_block(
+            buf, lay["offsets"][idx], lay["counts"][idx], meta, store_h, padw
+        )[:bh, :bw]
+        if out_bands != nb:
+            alpha = np.full((bh, bw, 1), 255, np.uint8)
+            arr = np.concatenate([arr, alpha], axis=2)
+        yield {
+            "block_x": 0, "block_y": 0, "width": bw, "height": bh,
+            "bands": out_bands,
+            "data": np.ascontiguousarray(arr).tobytes(),
+            "geo_transform": [
+                gt[0] + px0 * gt[1], gt[1], 0.0,
+                gt[3] + py0 * gt[5], 0.0, gt[5],
+            ],
+            "crs": meta["crs"],
+            "nodata": [None] * out_bands,
+        }
+
+
+_BLOCKS_SCHEMA = (
+    "block_x int, block_y int, width int, height int, bands int, "
+    "data binary, geo_transform array<double>, crs string, nodata array<int>"
+)
+
+
+def geotiff_blocks(
+    spark: SparkSession, path: str, ensure_alpha: bool = True
+) -> DataFrame:
+    """Read GeoTIFF file(s) at ``path`` (a file, dir, or glob) into the
+    engine's blocks schema: binaryFile scan -> executor-side numpy split.
+    One task per file; a MOSAIC of files is the parallel 100-TB shape."""
+
+    def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(split_blocks(bytes(content), ensure_alpha))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(_split, _BLOCKS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (fixtures / sink): tiled or stripped, none/deflate, pred 1/2
+# ---------------------------------------------------------------------------
+
+def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
+    d = arr.astype(np.int16)
+    d[:, 1:, :] -= d[:, :-1, :].astype(np.int16)
+    return (d % 256).astype(np.uint8)
+
+
+def write_geotiff(
+    path: str,
+    img: np.ndarray,
+    geo_transform: list[float],
+    epsg: int = 3857,
+    tile: tuple[int, int] | None = None,
+    rows_per_strip: int | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+) -> None:
+    """Write (H, W, bands) u8 as a classic little-endian GeoTIFF."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    H, W, nb = img.shape
+    gt = geo_transform
+    if gt[2] != 0.0 or gt[4] != 0.0:
+        raise GeoTiffError("writer supports axis-aligned transforms only")
+    comp_id = {"none": 1, "deflate": 8}[compression]
+
+    def _pack_block(a: np.ndarray) -> bytes:
+        if predictor == 2:
+            a = _apply_predictor2(a)
+        raw = a.tobytes()
+        return zlib.compress(raw, 6) if comp_id == 8 else raw
+
+    blocks: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise GeoTiffError("TIFF tile dims must be multiples of 16")
+        for ty in range((H + th - 1) // th):
+            for tx in range((W + tw - 1) // tw):
+                pad = np.zeros((th, tw, nb), np.uint8)
+                sub = img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                pad[:sub.shape[0], :sub.shape[1]] = sub
+                blocks.append(_pack_block(pad))
+    else:
+        rps = rows_per_strip or H
+        for sy in range((H + rps - 1) // rps):
+            blocks.append(_pack_block(img[sy * rps:(sy + 1) * rps]))
+
+    geokeys = [1, 1, 1, 2,
+               1024, 0, 1, 1,      # GTModelType = projected
+               3072, 0, 1, epsg]   # ProjectedCSType
+    scale = [gt[1], -gt[5], 0.0]
+    tie = [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]
+
+    entries: list[tuple[int, int, tuple]] = [
+        (_T_WIDTH, 4, (W,)), (_T_HEIGHT, 4, (H,)),
+        (_T_BITS, 3, (8,) * nb), (_T_COMPRESSION, 3, (comp_id,)),
+        (_T_PHOTOMETRIC, 3, (2 if nb >= 3 else 1,)),
+        (_T_SPP, 3, (nb,)), (_T_PLANAR, 3, (1,)),
+        (_T_PREDICTOR, 3, (predictor,)),
+        (_T_PIXEL_SCALE, 12, tuple(scale)),
+        (_T_TIEPOINT, 12, tuple(tie)),
+        (_T_GEOKEYS, 3, tuple(geokeys)),
+    ]
+    if tile is not None:
+        entries += [
+            (_T_TILE_W, 4, (tile[0],)), (_T_TILE_H, 4, (tile[1],)),
+            (_T_TILE_OFFSETS, 4, tuple(0 for _ in blocks)),
+            (_T_TILE_COUNTS, 4, tuple(len(b) for b in blocks)),
+        ]
+    else:
+        rps = rows_per_strip or H
+        entries += [
+            (_T_STRIP_OFFSETS, 4, tuple(0 for _ in blocks)),
+            (_T_ROWS_PER_STRIP, 4, (rps,)),
+            (_T_STRIP_COUNTS, 4, tuple(len(b) for b in blocks)),
+        ]
+    entries.sort(key=lambda x: x[0])
+
+    # layout: header(8) | IFD | out-of-line values | block data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    val_off = ifd_off + ifd_size
+    overflow: list[bytes] = []
+    packed: list[bytes] = []
+    # first pass: compute where out-of-line values land; block data offsets
+    # need the total, so pack offsets last
+    sizes = []
+    for tag, typ, vals in entries:
+        size = _TYPE_SIZE[typ] * len(vals)
+        sizes.append(size)
+    total_overflow = sum(s for s in sizes if s > 4)
+    data_off = val_off + total_overflow
+    offsets_tag = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
+    block_offsets = []
+    o = data_off
+    for b in blocks:
+        block_offsets.append(o)
+        o += len(b)
+    cur = val_off
+    for (tag, typ, vals), size in zip(entries, sizes):
+        if tag == offsets_tag:
+            vals = tuple(block_offsets)
+        if typ == 12:
+            raw = struct.pack("<" + "d" * len(vals), *vals)
+        else:
+            raw = struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals)
+        if size <= 4:
+            packed.append(struct.pack("<HHI", tag, typ, len(vals))
+                          + raw.ljust(4, b"\0"))
+        else:
+            packed.append(struct.pack("<HHII", tag, typ, len(vals), cur))
+            overflow.append(raw)
+            cur += size
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    out += b"".join(packed)
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += b"".join(overflow)
+    for b in blocks:
+        out += b
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

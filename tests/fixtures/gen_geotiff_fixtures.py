@@ -1,0 +1,29 @@
+"""Regenerate the GeoTIFF fixtures: the synthetic block-pixel law
+(FIXTURES.md §2) over a 2x2 grid of 64px blocks at the raster_blocks
+default geo-transform, written by freemap_tiler_spark.sources.geotiff.
+
+Interchange evidence: both files decode byte-exactly through Java
+ImageIO's TIFF reader (JDK 17 javax.imageio) — verified at generation
+time (r5); the reader-side law parity is pinned by pytest.
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+from freemap_tiler_spark.sources.geotiff import write_geotiff
+from freemap_tiler_spark.sources.raster_blocks import block_pixels
+
+here = os.path.dirname(os.path.abspath(__file__))
+img = np.zeros((128, 128, 4), np.uint8)
+for by in range(2):
+    for bx in range(2):
+        img[by*64:(by+1)*64, bx*64:(bx+1)*64] = block_pixels(bx, by, 64, 64, 4)
+gt = [1_870_000.0, 100.0, 0.0, 6_280_000.0, 0.0, -100.0]
+write_geotiff(os.path.join(here, "geotiff_law_tiled_deflate_p2.tif"),
+              img, gt, epsg=3857, tile=(64, 64),
+              compression="deflate", predictor=2)
+write_geotiff(os.path.join(here, "geotiff_law_strips.tif"),
+              img, gt, epsg=3857, rows_per_strip=48)
+print("wrote fixtures")

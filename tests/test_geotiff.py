@@ -1,0 +1,118 @@
+"""GeoTIFF ingestion (S1 real path): binaryFile + numpy splitter.
+
+The checked-in fixtures carry the synthetic block-pixel law
+(FIXTURES.md §2) over the raster_blocks default geo-transform, so the
+ingested table must be pixel-identical to the synthetic one — and a full
+run_tiler over each must produce BYTE-identical stores.  Both fixtures
+decode byte-exactly through Java ImageIO's TIFF reader (external
+interchange evidence, verified at generation: gen_geotiff_fixtures.py).
+"""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.sources import geotiff
+from freemap_tiler_spark.sources.raster_blocks import block_pixels, raster_blocks
+
+pytestmark = pytest.mark.spark
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIX_TILED = os.path.join(HERE, "fixtures", "geotiff_law_tiled_deflate_p2.tif")
+FIX_STRIPS = os.path.join(HERE, "fixtures", "geotiff_law_strips.tif")
+GT = [1_870_000.0, 100.0, 0.0, 6_280_000.0, 0.0, -100.0]
+
+
+def _law_image():
+    img = np.zeros((128, 128, 4), np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            img[by*64:(by+1)*64, bx*64:(bx+1)*64] = block_pixels(bx, by, 64, 64, 4)
+    return img
+
+
+def _reassemble(rows):
+    img = np.zeros((128, 128, 4), np.uint8)
+    for r in rows:
+        px0 = round((r.geo_transform[0] - GT[0]) / GT[1])
+        py0 = round((r.geo_transform[3] - GT[3]) / GT[5])
+        a = np.frombuffer(bytes(r.data), np.uint8).reshape(r.height, r.width, r.bands)
+        img[py0:py0+r.height, px0:px0+r.width] = a
+    return img
+
+
+@pytest.mark.parametrize("fix", [FIX_TILED, FIX_STRIPS])
+def test_ingested_pixels_match_law(spark, fix):
+    rows = geotiff.geotiff_blocks(spark, fix).collect()
+    assert all(r.crs == "EPSG:3857" for r in rows)
+    assert np.array_equal(_reassemble(rows), _law_image())
+
+
+def test_writer_variants_roundtrip(spark):
+    """All writer layout/compression/predictor combinations survive the
+    Spark ingestion path, including a non-multiple edge crop."""
+    img = _law_image()[:100, :90]
+    tmp = tempfile.mkdtemp(prefix="gtif_")
+    try:
+        cases = [
+            dict(tile=(64, 64)),
+            dict(tile=(64, 64), compression="deflate", predictor=2),
+            dict(rows_per_strip=33),
+            dict(rows_per_strip=33, compression="deflate", predictor=2),
+        ]
+        for i, kw in enumerate(cases):
+            p = os.path.join(tmp, f"v{i}.tif")
+            geotiff.write_geotiff(p, img, GT, epsg=3857, **kw)
+            rows = geotiff.geotiff_blocks(spark, p).collect()
+            got = np.zeros_like(img)
+            for r in rows:
+                px0 = round((r.geo_transform[0] - GT[0]) / GT[1])
+                py0 = round((r.geo_transform[3] - GT[3]) / GT[5])
+                a = np.frombuffer(bytes(r.data), np.uint8).reshape(
+                    r.height, r.width, r.bands)
+                got[py0:py0+r.height, px0:px0+r.width] = a
+            assert np.array_equal(got, img), kw
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_run_tiler_geotiff_matches_synthetic(spark):
+    """Full pipeline parity (VERDICT r4 'Next round' #4 done criterion):
+    run_tiler over the INGESTED fixture produces a store byte-identical
+    to run_tiler over the synthetic blocks table with the same pixels."""
+    from freemap_tiler_spark.pipeline import run_tiler
+    from freemap_tiler_spark.plans import store
+
+    synth = raster_blocks(spark, grid=2, width=64, height=64, bands=4)
+    ingested = geotiff.geotiff_blocks(spark, FIX_TILED)
+    roots = [tempfile.mkdtemp(prefix="gt_store_") for _ in range(2)]
+    try:
+        for blocks, root in zip([synth, ingested], roots):
+            run_tiler(spark, blocks, root, max_zoom=9, min_zoom=8,
+                      tile_size=32, fmt="png", resume=False)
+        reads = [
+            {(r.zoom, r.x, r.tms_y): bytes(r.tile_data)
+             for r in store.read_tiles(spark, root).collect()}
+            for root in roots
+        ]
+        assert reads[0].keys() == reads[1].keys() and len(reads[0]) > 0
+        assert all(reads[0][k] == reads[1][k] for k in reads[0])
+    finally:
+        for root in roots:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def test_reader_rejects_unsupported():
+    buf = open(FIX_TILED, "rb").read()
+    with pytest.raises(geotiff.GeoTiffError):
+        geotiff.geotiff_meta(b"XX" + buf[2:])
+    with pytest.raises(geotiff.GeoTiffError):
+        geotiff.geotiff_meta(buf[:4])
+    # BigTIFF magic
+    import struct
+    with pytest.raises(geotiff.GeoTiffError, match="BigTIFF"):
+        geotiff.geotiff_meta(b"II" + struct.pack("<H", 43) + buf[4:])
