@@ -163,6 +163,200 @@ def _tmerc_pair(
     return to_merc, from_merc
 
 
+# ---------------------------------------------------------------------------
+# conic + polar families (Snyder, USGS PP 1395: LCC ch. 15, Albers ch. 14,
+# polar stereographic ch. 21) — VERDICT r4 "Next round" #5
+# ---------------------------------------------------------------------------
+
+_E = math.sqrt(_E2)
+
+
+def _t_sny(lat: np.ndarray) -> np.ndarray:
+    """Snyder 15-9: isometric-latitude kernel t(lat)."""
+    sl = _E * np.sin(lat)
+    return np.tan(np.pi / 4 - lat / 2) / ((1 - sl) / (1 + sl)) ** (_E / 2)
+
+
+def _m_sny(lat) -> np.ndarray:
+    """Snyder 14-15: m(lat) = cos(lat)/sqrt(1 - e^2 sin^2 lat)."""
+    lat = np.asarray(lat, float)
+    sl = np.sin(lat)
+    return np.cos(lat) / np.sqrt(1 - _E2 * sl * sl)
+
+
+def _lat_from_t(t: np.ndarray) -> np.ndarray:
+    """Snyder 7-9 fixed-point inverse of _t_sny (converges ~1e-12 in <8)."""
+    lat = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sl = _E * np.sin(lat)
+        lat = np.pi / 2 - 2 * np.arctan(t * ((1 - sl) / (1 + sl)) ** (_E / 2))
+    return lat
+
+
+def _q_sny(lat) -> np.ndarray:
+    """Snyder 3-12: authalic-latitude kernel q(lat)."""
+    lat = np.asarray(lat, float)
+    sl = np.sin(lat)
+    esl = _E * sl
+    return (1 - _E2) * (
+        sl / (1 - _E2 * sl * sl) - np.log((1 - esl) / (1 + esl)) / (2 * _E)
+    )
+
+
+def _lat_from_q(q: np.ndarray) -> np.ndarray:
+    """Snyder 3-16 Newton iteration for lat given q."""
+    lat = np.arcsin(np.clip(np.asarray(q, float) / 2.0, -1.0, 1.0))
+    for _ in range(10):
+        sl = np.sin(lat)
+        esl = _E * sl
+        d = 1 - _E2 * sl * sl
+        cl = np.maximum(np.cos(lat), 1e-12)
+        lat = lat + d * d / (2 * cl) * (
+            q / (1 - _E2) - sl / d + np.log((1 - esl) / (1 + esl)) / (2 * _E)
+        )
+    return lat
+
+
+def _lcc_pair(
+    lat1: float, lat2: float, lat0: float, lon0: float, x0: float, y0: float
+) -> tuple[Transform, Transform]:
+    """Lambert conformal conic 2SP (Snyder 15-1..15-11); 1SP when
+    lat_1 == lat_2 (n = sin lat_1)."""
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_sny(p1))
+    t1 = float(_t_sny(np.asarray(p1)))
+    if abs(lat1 - lat2) < 1e-9:
+        n = math.sin(p1)
+    else:
+        m2 = float(_m_sny(p2))
+        t2 = float(_t_sny(np.asarray(p2)))
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    Fc = m1 / (n * t1 ** n)
+    rho0 = _A * Fc * float(_t_sny(np.asarray(p0))) ** n
+    sgn = 1.0 if n >= 0 else -1.0
+    lon0_r = math.radians(lon0)
+
+    def fwd(lon_deg, lat_deg):
+        lat = np.radians(np.asarray(lat_deg, float))
+        lon = np.radians(np.asarray(lon_deg, float))
+        rho = _A * Fc * _t_sny(lat) ** n
+        th = n * (lon - lon0_r)
+        return x0 + rho * np.sin(th), y0 + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        xr = np.asarray(x, float) - x0
+        yr = rho0 - (np.asarray(y, float) - y0)
+        rho = sgn * np.hypot(xr, yr)
+        th = np.arctan2(sgn * xr, sgn * yr)
+        t = (rho / (_A * Fc)) ** (1.0 / n)
+        return (
+            np.degrees(th / n + lon0_r),
+            np.degrees(_lat_from_t(t)),
+        )
+
+    return _wrap_pair(fwd, inv)
+
+
+def _aea_pair(
+    lat1: float, lat2: float, lat0: float, lon0: float, x0: float, y0: float
+) -> tuple[Transform, Transform]:
+    """Albers equal-area conic (Snyder 14-1..14-12); 1SP when
+    lat_1 == lat_2."""
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_sny(p1))
+    q1 = float(_q_sny(p1))
+    if abs(lat1 - lat2) < 1e-9:
+        n = math.sin(p1)
+    else:
+        m2 = float(_m_sny(p2))
+        q2 = float(_q_sny(p2))
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = _A * math.sqrt(C - n * float(_q_sny(p0))) / n
+    sgn = 1.0 if n >= 0 else -1.0
+    lon0_r = math.radians(lon0)
+
+    def fwd(lon_deg, lat_deg):
+        lat = np.radians(np.asarray(lat_deg, float))
+        lon = np.radians(np.asarray(lon_deg, float))
+        rho = _A * np.sqrt(np.maximum(C - n * _q_sny(lat), 0.0)) / n
+        th = n * (lon - lon0_r)
+        return x0 + rho * np.sin(th), y0 + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        xr = np.asarray(x, float) - x0
+        yr = rho0 - (np.asarray(y, float) - y0)
+        rho = sgn * np.hypot(xr, yr)
+        th = np.arctan2(sgn * xr, sgn * yr)
+        q = (C - (rho * n / _A) ** 2) / n
+        return (
+            np.degrees(th / n + lon0_r),
+            np.degrees(_lat_from_q(q)),
+        )
+
+    return _wrap_pair(fwd, inv)
+
+
+def _stere_pair(
+    lat0: float, lat_ts: float | None, k0: float,
+    lon0: float, x0: float, y0: float
+) -> tuple[Transform, Transform]:
+    """POLAR stereographic (Snyder 21-33..21-41; lat_0 = +/-90 only —
+    oblique aspects are not in the tiler's source families).  ``lat_ts``
+    (standard parallel, variant B) beats ``k0`` (variant A) when given."""
+    if abs(abs(lat0) - 90.0) > 1e-9:
+        raise ValueError(
+            f"stere supported in polar aspect only (+lat_0=90 or -90), "
+            f"got lat_0={lat0}"
+        )
+    s = 1.0 if lat0 > 0 else -1.0
+    if lat_ts is not None:
+        pc = math.radians(abs(lat_ts))
+        coef = _A * float(_m_sny(pc)) / float(_t_sny(np.asarray(pc)))
+    else:
+        coef = (
+            2.0 * _A * k0
+            / math.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E))
+        )
+    lon0_r = math.radians(lon0)
+
+    def fwd(lon_deg, lat_deg):
+        lat = s * np.radians(np.asarray(lat_deg, float))
+        dlon = np.radians(np.asarray(lon_deg, float)) - lon0_r
+        rho = coef * _t_sny(lat)
+        return x0 + rho * np.sin(dlon), y0 - s * rho * np.cos(dlon)
+
+    def inv(x, y):
+        xr = np.asarray(x, float) - x0
+        yr = np.asarray(y, float) - y0
+        t = np.hypot(xr, yr) / coef
+        return (
+            np.degrees(lon0_r + np.arctan2(xr, -s * yr)),
+            s * np.degrees(_lat_from_t(t)),
+        )
+
+    return _wrap_pair(fwd, inv)
+
+
+def _wrap_pair(fwd: Transform, inv: Transform) -> tuple[Transform, Transform]:
+    """(lon/lat forward, inverse) -> (to_merc, from_merc) like _tmerc_pair."""
+
+    def to_merc(X, Y):
+        lon, lat = inv(X, Y)
+        return mercator.np_lonlat_to_merc(
+            np.asarray(lon), np.clip(lat, -85.06, 85.06)
+        )
+
+    def from_merc(mx, my):
+        lon = np.degrees(np.asarray(mx, float) / mercator.R)
+        lat = np.degrees(
+            2.0 * np.arctan(np.exp(np.asarray(my, float) / mercator.R)) - np.pi / 2.0
+        )
+        return fwd(lon, lat)
+
+    return to_merc, from_merc
+
+
 def parse_proj_pipeline(proj: str) -> str:
     """Common `+proj=...` pipeline strings -> a CRS name this registry
     resolves (the reference accepts a PROJ pipeline via --transform-
@@ -202,9 +396,36 @@ def parse_proj_pipeline(proj: str) -> str:
         if name not in _REGISTRY:
             _REGISTRY[name] = _tmerc_pair(lon0, lat0, k0, x0, y0)
         return name
+    if p in ("lcc", "aea"):
+        lat1 = float(str(kv.get("lat_1", 0.0)))
+        lat2 = float(str(kv.get("lat_2", kv.get("lat_1", 0.0))))
+        lat0 = float(str(kv.get("lat_0", 0.0)))
+        lon0 = float(str(kv.get("lon_0", 0.0)))
+        x0 = float(str(kv.get("x_0", 0.0)))
+        y0 = float(str(kv.get("y_0", 0.0)))
+        name = (f"+proj={p} +lat_1={lat1!r} +lat_2={lat2!r} +lat_0={lat0!r} "
+                f"+lon_0={lon0!r} +x_0={x0!r} +y_0={y0!r}")
+        if name not in _REGISTRY:
+            mk = _lcc_pair if p == "lcc" else _aea_pair
+            _REGISTRY[name] = mk(lat1, lat2, lat0, lon0, x0, y0)
+        return name
+    if p == "stere":
+        lat0 = float(str(kv.get("lat_0", 90.0)))
+        lat_ts = float(str(kv["lat_ts"])) if "lat_ts" in kv else None
+        k0 = float(str(kv.get("k", kv.get("k_0", 1.0))))
+        lon0 = float(str(kv.get("lon_0", 0.0)))
+        x0 = float(str(kv.get("x_0", 0.0)))
+        y0 = float(str(kv.get("y_0", 0.0)))
+        ts = f"+lat_ts={lat_ts!r} " if lat_ts is not None else ""
+        name = (f"+proj=stere +lat_0={lat0!r} {ts}+k={k0!r} "
+                f"+lon_0={lon0!r} +x_0={x0!r} +y_0={y0!r}")
+        if name not in _REGISTRY:
+            _REGISTRY[name] = _stere_pair(lat0, lat_ts, k0, lon0, x0, y0)
+        return name
     raise ValueError(
-        f"unsupported PROJ pipeline {proj!r}: longlat/webmerc/utm/tmerc "
-        f"forms are parsed; register_crs(...) covers anything else"
+        f"unsupported PROJ pipeline {proj!r}: longlat/webmerc/utm/tmerc/"
+        f"lcc/aea/stere forms are parsed; register_crs(...) covers "
+        f"anything else"
     )
 
 

@@ -1,0 +1,138 @@
+"""Conic + polar CRS families (VERDICT r4 'Next round' #5): Lambert
+conformal conic, Albers equal-area, polar stereographic — Snyder closed
+forms, accepted via PROJ pipeline strings, driven through the warp.
+
+Correctness anchors (no PROJ in this container):
+  1. forward/inverse roundtrip to < 1e-6 m in WebMercator space;
+  2. each projection's DEFINING property, numerically differentiated:
+     scale == 1 along both LCC standard parallels and at the stere
+     standard parallel; Albers Jacobian == the ellipsoid area element;
+  3. a warp ramp golden per family (same harness as the UTM golden).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import cells
+from freemap_tiler_spark.functions import crs as C
+from freemap_tiler_spark.functions import mercator as M
+from freemap_tiler_spark.operators import raster_ops
+
+pytestmark = pytest.mark.spark
+
+PIPELINES = [
+    "+proj=lcc +lat_1=48 +lat_2=49.5 +lat_0=48.5 +lon_0=17 +x_0=700000 +y_0=200000",
+    "+proj=aea +lat_1=48 +lat_2=49.5 +lat_0=48.5 +lon_0=17",
+    "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45",
+    "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0",
+    "+proj=stere +lat_0=90 +k=0.994 +lon_0=0",
+]
+
+
+@pytest.mark.parametrize("proj", PIPELINES)
+def test_roundtrip(proj):
+    name = C.parse_proj_pipeline(proj)
+    assert C.parse_proj_pipeline(name) == name  # normalized name reparses
+    to_merc, from_merc = C.lookup_crs(name)
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-60, 60, 500)
+    south = "-90" in proj
+    lat = rng.uniform(25, 82, 500) * (-1 if south else 1)
+    mx, my = M.np_lonlat_to_merc(lon, lat)
+    X, Y = from_merc(mx, my)
+    mx2, my2 = to_merc(X, Y)
+    assert np.abs(mx2 - mx).max() < 1e-6
+    assert np.abs(my2 - my).max() < 1e-6
+
+
+def _fwd(pair):
+    _, from_merc = pair
+
+    def f(lon, lat):
+        mx, my = M.np_lonlat_to_merc(np.asarray(lon, float), np.asarray(lat, float))
+        return from_merc(mx, my)
+
+    return f
+
+
+def _parallel_scale(fwd, lon, lat):
+    d = 1e-6
+    x1, y1 = fwd(np.array([lon]), np.array([lat]))
+    x2, y2 = fwd(np.array([lon + d]), np.array([lat]))
+    dist = math.hypot(float(x2[0] - x1[0]), float(y2[0] - y1[0]))
+    sl = math.sin(math.radians(lat))
+    n = C._A / math.sqrt(1 - C._E2 * sl * sl)
+    return dist / (math.radians(d) * n * math.cos(math.radians(lat)))
+
+
+def test_defining_properties():
+    lcc = _fwd(C._lcc_pair(40, 60, 0, 0, 0, 0))
+    assert abs(_parallel_scale(lcc, 10.0, 40.0) - 1.0) < 1e-6
+    assert abs(_parallel_scale(lcc, 10.0, 60.0) - 1.0) < 1e-6
+    st = _fwd(C._stere_pair(90, 70, 1.0, 0, 0, 0))
+    assert abs(_parallel_scale(st, 10.0, 70.0) - 1.0) < 1e-6
+    aea = _fwd(C._aea_pair(40, 60, 50, 0, 0, 0))
+    lon, lat, d = 10.0, 50.0, 1e-5
+    x0, y0 = aea(np.array([lon]), np.array([lat]))
+    xl, yl = aea(np.array([lon + d]), np.array([lat]))
+    xp, yp = aea(np.array([lon]), np.array([lat + d]))
+    jac = abs(float((xl[0] - x0[0]) * (yp[0] - y0[0])
+                    - (xp[0] - x0[0]) * (yl[0] - y0[0])))
+    sl = math.sin(math.radians(lat))
+    n = C._A / math.sqrt(1 - C._E2 * sl * sl)
+    m = C._A * (1 - C._E2) / (1 - C._E2 * sl * sl) ** 1.5
+    area = (math.radians(d) * n * math.cos(math.radians(lat))) * (math.radians(d) * m)
+    assert abs(jac / area - 1.0) < 1e-4
+
+
+def test_stere_rejects_oblique():
+    with pytest.raises(ValueError, match="polar"):
+        C.parse_proj_pipeline("+proj=stere +lat_0=52 +lon_0=5")
+
+
+@pytest.mark.parametrize("proj", [
+    "+proj=lcc +lat_1=48 +lat_2=49.5 +lat_0=48.5 +lon_0=17",
+    "+proj=aea +lat_1=48 +lat_2=49.5 +lat_0=48.5 +lon_0=17",
+    "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45",
+])
+def test_warp_ramp_golden(spark, proj):
+    """Same harness as the UTM Lanczos ramp golden: an easting ramp in the
+    source CRS must come back at the analytically expected values through
+    the generic 2-D warp path."""
+    name = C.parse_proj_pipeline(proj)
+    _, from_merc = C.lookup_crs(name)
+    cx, cy = from_merc(*M.np_lonlat_to_merc(np.array([16.9]), np.array([48.6])))
+    x0, y0 = float(np.asarray(cx).ravel()[0]) - 3200.0, float(np.asarray(cy).ravel()[0]) + 3200.0
+    w = h = 64
+    img = np.zeros((h, w, 2), np.uint8)
+    img[:, :, 0] = np.clip(np.arange(w) * 4, 0, 255).astype(np.uint8)[None, :]
+    img[:, :, 1] = 255
+    df = spark.createDataFrame(
+        [(0, 0, w, h, 2, bytearray(img.tobytes()),
+          [x0, 100.0, 0.0, y0, 0.0, -100.0], name, [None, None])],
+        "block_x int, block_y int, width int, height int, bands int, "
+        "data binary, geo_transform array<double>, crs string, nodata array<int>",
+    )
+    zoom, t = 11, 32
+    rows = raster_ops.warp_blocks_to_tiles(df, zoom=zoom, tile_size=t).collect()
+    assert rows
+    span = M.WORLD / (1 << zoom)
+    errs = []
+    for r in rows:
+        _, tx, ty = cells.np_cell_zxy(np.array([r.cell]))
+        tx, ty = int(tx[0]), int(ty[0])
+        pix = np.frombuffer(r.payload, np.uint8).reshape(t, t, 2)
+        mx = (tx * t + np.arange(t) + 0.5) * span / t - M.ORIGIN
+        my = M.ORIGIN - (ty * t + np.arange(t) + 0.5) * span / t
+        gmx, gmy = np.meshgrid(mx, my)
+        E, _ = from_merc(gmx.ravel(), gmy.ravel())
+        sx = (E.reshape(t, t) - x0) / 100.0 - 0.5
+        ok = (pix[:, :, 1] == 255) & (sx > 10) & (sx < 54)
+        if ok.any():
+            errs.append(np.abs(pix[:, :, 0][ok] - np.clip(sx[ok] * 4, 0, 255)))
+    err = np.concatenate(errs)
+    assert err.size > 100
+    assert err.mean() < 3.0, f"{proj}: mean abs ramp error {err.mean():.2f}"
