@@ -103,7 +103,10 @@ def run_once(spark, sf_dir: str, cpus: int, sf: float, n_corpus: int) -> dict:
 
     # --- encode: PNG every tile (the encode stage)
     t0 = time.time()
-    encoded = pyramid.encode_level(levels, "png", tile_size=TILE, bands=2)
+    # filter-0 scanlines: the throughput-critical-write knob (adaptive MSAD
+    # stays the size-optimizing default; roundtrip identical either way)
+    encoded = pyramid.encode_level(levels, "png", tile_size=TILE, bands=2,
+                                   png_filter="none")
     n_enc = encoded.count()
     q["encode"] = time.time() - t0
 

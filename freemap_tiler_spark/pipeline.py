@@ -170,6 +170,7 @@ def run_tiler(
     resampling: str = "bilinear",
     insert_empty: bool = False,
     slices_per_level: int = 1,
+    png_filter: str = "adaptive",
 ) -> dict:
     """blocks table -> tile store + metadata + lineage.  Returns per-level
     row counts.  The complete reference-equivalent run."""
@@ -214,7 +215,7 @@ def run_tiler(
         levels = L.read_pyramid(spark, root)
         store.write_tiles(
             spark, levels.where("length(payload) > 0"), root, fmt, quality,
-            tile_size, bands,
+            tile_size, bands, png_filter=png_filter,
         )
         if insert_empty:
             # known-empty markers bypass the encode path entirely (they

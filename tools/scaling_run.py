@@ -94,7 +94,7 @@ for df in rc:
 q["compose"] = time.time() - t0
 
 t0 = time.time()
-n_enc = pyramid.encode_level(levels, "png", tile_size=TILE, bands=2).count()
+n_enc = pyramid.encode_level(levels, "png", tile_size=TILE, bands=2, png_filter="none").count()
 q["encode"] = time.time() - t0
 
 t0 = time.time()
