@@ -12,9 +12,12 @@ only).
 Interchange-compatible both ways: any standard decoder reads the encoded
 bytes, and `decode` reads any baseline SOF0 JPEG — 4:4:4, 4:2:2, 4:2:0,
 4:4:0 sampling (triangle 'fancy' chroma upsampling, matching libjpeg and
-the reference's image crate) plus DRI/RSTn restart markers — verified in
-pytest against checked-in fixtures written by an external libjpeg-based
-toolchain (src/processor.rs:194-203 reads such stores on resume).
+the reference's image crate) plus DRI/RSTn restart markers — AND
+progressive SOF2 (T.81 Annex G: spectral-selection bands x successive-
+approximation bit planes, the standard libjpeg 10-scan script; r5) —
+verified in pytest against checked-in fixtures written by an external
+libjpeg-based toolchain (src/processor.rs:194-203 reads such stores on
+resume).
 """
 
 from __future__ import annotations
@@ -489,8 +492,10 @@ def decode(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "tq": tq, "h": hv >> 4, "v": hv & 15})
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC2:
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3):
+            raise ValueError("only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -560,3 +565,260 @@ def decode(data: bytes) -> np.ndarray:
             return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
         pos += seglen
     raise ValueError("no scan found")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — T.81 Annex G (VERDICT r4 "Next round" #8)
+# ---------------------------------------------------------------------------
+
+def _scan_end(data: bytes, pos: int) -> int:
+    """Index just past the entropy-coded data starting at ``pos``: skips
+    stuffed FF 00 and RST0-7; stops at any other marker."""
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return len(data)
+
+
+def _dc_scan(segs, scan, coefs, Al, refine, mcus_x, mcus_y, ri):
+    """Interleaved (or single-comp) DC scan: first pass codes diffs << Al,
+    refinement adds one bit per block at Al (T.81 G.1.2.1)."""
+    seg_i, mcu = 0, 0
+    br = _BitReader(segs[0])
+    preds = [0] * len(scan)
+    interleaved = len(scan) > 1
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu and mcu % ri == 0:
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                preds = [0] * len(scan)
+            for ci, comp in enumerate(scan):
+                vv = comp["v"] if interleaved else 1
+                hh = comp["h"] if interleaved else 1
+                for by in range(vv):
+                    for bx in range(hh):
+                        blk = coefs[comp["ci"]][my * vv + by, mx * hh + bx]
+                        if refine:
+                            blk[0] |= br.bits(1) << Al
+                        else:
+                            cat = _read_huff(br, comp["dc"])
+                            diff = _extend(br.bits(cat), cat) if cat else 0
+                            preds[ci] += diff
+                            blk[0] = preds[ci] << Al
+            mcu += 1
+
+
+def _ac_first_scan(segs, comp, coef_grid, bw, bh, Ss, Se, Al, ri):
+    """Non-interleaved AC first scan (T.81 G.1.2.2): run-length coding of
+    the (Ss..Se) band with EOBn end-of-band runs, values scaled << Al."""
+    seg_i, nblk, eobrun = 0, 0, 0
+    br = _BitReader(segs[0])
+    for byi in range(bh):
+        for bxi in range(bw):
+            if ri and nblk and nblk % ri == 0:
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                eobrun = 0
+            nblk += 1
+            blk = coef_grid[byi, bxi]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = _read_huff(br, comp["ac"])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > Se:
+                    break
+                blk[_ZIGZAG[k]] = _extend(br.bits(s), s) << Al
+                k += 1
+
+
+def _ac_refine_scan(segs, comp, coef_grid, bw, bh, Ss, Se, Al, ri):
+    """Non-interleaved AC refinement (T.81 G.1.2.3): newly-nonzero coeffs
+    enter at +/-1<<Al; already-nonzero coeffs receive correction bits."""
+    p1, m1 = 1 << Al, -(1 << Al)
+    seg_i, nblk, eobrun = 0, 0, 0
+    br = _BitReader(segs[0])
+
+    def correct(blk, k):
+        pos = _ZIGZAG[k]
+        if br.bits(1) and (blk[pos] & p1) == 0:
+            blk[pos] += p1 if blk[pos] >= 0 else m1
+
+    for byi in range(bh):
+        for bxi in range(bw):
+            if ri and nblk and nblk % ri == 0:
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                eobrun = 0
+            nblk += 1
+            blk = coef_grid[byi, bxi]
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = _read_huff(br, comp["ac"])
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break  # rest of block handled by EOB logic
+                        # r == 15: run of 16 zero-history coefficients
+                    else:
+                        newval = p1 if br.bits(1) else m1
+                    while k <= Se:
+                        if blk[_ZIGZAG[k]] != 0:
+                            correct(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= Se:
+                        blk[_ZIGZAG[k]] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    if blk[_ZIGZAG[k]] != 0:
+                        correct(blk, k)
+                    k += 1
+                eobrun -= 1
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """SOF2 progressive JFIF bytes -> (H, W) or (H, W, 3) u8.  Coefficients
+    accumulate across every scan (spectral-selection bands x successive-
+    approximation bit planes, T.81 Annex G); dequant + IDCT run ONCE at
+    EOI over the final coefficient planes.  Covers the standard libjpeg
+    10-scan script (interleaved DC first/refine, per-component AC
+    first/refine) plus DRI/RSTn inside any scan."""
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    coefs: list[np.ndarray] = []
+    h = w = 0
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    ri = 0
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq_tq = body[i]
+                assert pq_tq >> 4 == 0, "8-bit tables only"
+                tab = np.frombuffer(body[i + 1:i + 65], np.uint8).astype(np.int32)
+                nat = np.zeros(64, np.int32)
+                nat[_ZIGZAG] = tab
+                qtabs[pq_tq & 15] = nat
+                i += 65
+        elif marker == 0xC2:
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "tq": tq, "h": hv >> 4, "v": hv & 15,
+                              "ci": c})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                coefs.append(np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32))
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(body[i + 17:i + 17 + nv])
+                htabs[tc_th] = _dec_table(bits, values)
+                i += 17 + nv
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp = dict(comp)
+                comp["dc"] = htabs.get(tabs >> 4)
+                comp["ac"] = htabs.get(0x10 | (tabs & 15))
+                scan.append(comp)
+            Ss, Se, ah_al = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            Ah, Al = ah_al >> 4, ah_al & 15
+            end = _scan_end(data, pos + seglen)
+            segs = _split_restarts(data[pos + seglen:end])
+            if Ss == 0:  # DC scan (interleaved or single-comp)
+                if ns > 1:
+                    _dc_scan(segs, scan, coefs, Al, Ah > 0, mcus_x, mcus_y, ri)
+                else:
+                    c = scan[0]
+                    bw = -(-(-(-w * c["h"] // hmax)) // 8)
+                    bh = -(-(-(-h * c["v"] // vmax)) // 8)
+                    _dc_scan(segs, scan, coefs, Al, Ah > 0, bw, bh, ri)
+            else:  # AC scans are single-component by spec
+                c = scan[0]
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                bw, bh = -(-cw // 8), -(-ch // 8)
+                grid = coefs[c["ci"]]
+                if Ah == 0:
+                    _ac_first_scan(segs, c, grid, bw, bh, Ss, Se, Al, ri)
+                else:
+                    _ac_refine_scan(segs, c, grid, bw, bh, Ss, Se, Al, ri)
+            pos = end
+            continue
+        pos += seglen
+    if not comps:
+        raise ValueError("no SOF2 frame found")
+    # dequant + IDCT once, vectorized over every block of each component
+    planes = []
+    for c, grid in zip(comps, coefs):
+        by, bx, _ = grid.shape
+        deq = (grid.reshape(-1, 64) * qtabs[c["tq"]][None, :]).astype(np.float64)
+        blocks = deq.reshape(-1, 8, 8)
+        pix = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT, optimize=True) + 128.0
+        plane = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if (c["h"], c["v"]) == (hmax, vmax):
+            planes.append(plane[:h, :w])
+        else:
+            ch = -(-h * c["v"] // vmax)
+            cw = -(-w * c["h"] // hmax)
+            planes.append(
+                _upsample(plane[:ch, :cw], vmax // c["v"], hmax // c["h"], h, w)
+            )
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

@@ -413,3 +413,59 @@ def test_encode_tile_png_filter_knob():
     assert (codecs.png_decode(g_fast) == grad).all()
     assert (codecs.png_decode(g_small) == grad).all()
     assert len(g_small) < len(g_fast)
+
+
+def test_jpeg_progressive_decode_golden():
+    """VERDICT r4 #8: progressive (SOF2) decode — spectral-selection +
+    successive-approximation scans.  Fixtures written by Java ImageIO
+    (MODE_DEFAULT = the standard libjpeg 10-scan script: interleaved DC
+    first/refine + per-component AC first/refine, 4:2:0) with ImageIO's
+    own decode as the reference pixels; same tolerance as the baseline
+    subsampled fixtures.  84x100 exercises partial-MCU dims."""
+    import numpy as np
+
+    from freemap_tiler_spark.functions import jpeg
+
+    jpg, ref = _load_rgb_fixture("jpeg_progressive")
+    got = jpeg.decode(jpg)
+    assert got.shape == ref.shape
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= 4, f"max diff {d.max()}"
+    assert d.mean() < 1.0
+
+    # grayscale: single-component scans all the way down
+    import os
+    import struct
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    jpg = open(os.path.join(fixdir, "jpeg_progressive_gray.jpg"), "rb").read()
+    raw = open(os.path.join(fixdir, "jpeg_progressive_gray.rgb"), "rb").read()
+    h, w = struct.unpack(">HH", raw[:4])
+    ref = np.frombuffer(raw[4:], np.uint8).reshape(h, w)
+    got = jpeg.decode(jpg)
+    assert got.shape == (h, w)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_decode_tile_progressive_store_resume():
+    """Resume from a store holding PROGRESSIVE JPEGs (an external writer
+    may store SOF2 tiles): decode_tile must reassemble color + alpha the
+    same way it does for baseline tiles."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+
+    jpg, ref = _load_rgb_fixture("jpeg_progressive")
+    h, w, _ = ref.shape
+    rng = np.random.default_rng(9)
+    alpha = np.repeat(rng.choice([0, 255], h * w // 25 + 1).astype(np.uint8), 25)[: h * w]
+    if shutil.which("zstd"):
+        sidecar = subprocess.run(["zstd", "-12", "-c"], input=alpha.tobytes(),
+                                 capture_output=True).stdout
+    else:
+        sidecar = codecs.zstd_frame_encode(alpha.tobytes())
+    tile = codecs.decode_tile(jpg, sidecar, fmt="jpeg")
+    assert tile.shape == (h, w, 4)
+    assert np.abs(tile[:, :, :3].astype(int) - ref.astype(int)).max() <= 4
+    assert np.array_equal(tile[:, :, 3].ravel(), alpha)
