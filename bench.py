@@ -94,7 +94,7 @@ def run_once(spark, sf_dir: str, cpus: int, sf: float, n_corpus: int) -> dict:
     round_cache: list = []
     levels = pyramid.compose_pyramid(
         leaves, MAX_ZOOM, 0, TILE, 2, levels_per_shuffle=5,
-        round_cache=round_cache,
+        round_cache=round_cache, approx_tiles=n_leaves,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_tiles = levels.count()
     for df in round_cache:   # levels is materialized; drop round caches
@@ -113,11 +113,14 @@ def run_once(spark, sf_dir: str, cpus: int, sf: float, n_corpus: int) -> dict:
     # --- write: parquet sink partitioned by zoom (the insert stage)
     t0 = time.time()
     out_dir = tempfile.mkdtemp(prefix="bench_tiles_")
-    # repartition to one file-group per core: bounded file count (plain
-    # partitionBy from N shuffle partitions writes N x zooms tiny files)
-    pyramid.with_tile_keys(levels).drop("cell").repartition(cpus).write.mode(
-        "overwrite"
-    ).partitionBy("zoom").parquet(out_dir)
+    # range-partition on (zoom, x): each task holds a contiguous zoom/x
+    # slab, so total file count is ~cpus + zooms instead of cpus * zooms
+    # (hash repartition scatters every zoom across every task; the commit
+    # renames one file per task x zoom, serially, on the driver — the
+    # classic small-files tax, and it grows with parallelism)
+    pyramid.with_tile_keys(levels).drop("cell").repartitionByRange(
+        cpus, "zoom", "x"
+    ).write.mode("overwrite").partitionBy("zoom").parquet(out_dir)
     q["write"] = time.time() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -1992,10 +1992,173 @@ SELECT * FROM (
 """
 
 
+def q_rep_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics per document (Gopher-style repetition filters):
+    duplicate-word fraction, top-word fraction (explode → two combiner-
+    friendly aggregations — the 100 TB shape), and duplicate-word-trigram
+    fraction (bounded per-row array math, no shuffle)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.trim(F.col("text")) != "")
+         .withColumn("words", F.split(F.trim(F.col("text")), r"\s+")))
+    wc = (d.select("doc_id", F.explode("words").alias("word"))
+          .groupBy("doc_id", "word").agg(F.count("*").alias("c")))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"))
+    tri = d.select("doc_id", F.expr(
+        "CASE WHEN size(words) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(words)-2), i -> "
+        "concat_ws(' ', element_at(words, i), element_at(words, i+1), "
+        "element_at(words, i+2))) END").alias("tg"))
+    tri = tri.select(
+        "doc_id",
+        F.when(F.size("tg") == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct("tg")) /
+            F.size("tg").cast("double")).alias("dup_tri_frac"))
+    return (agg.join(tri, "doc_id")
+            .select("doc_id",
+                    F.col("n_words").cast("bigint").alias("n_words"),
+                    F.col("n_distinct").cast("bigint").alias("n_distinct"),
+                    (F.lit(1.0) - F.col("n_distinct") /
+                     F.col("n_words").cast("double")).alias("dup_word_frac"),
+                    (F.col("top_c") / F.col("n_words").cast("double")
+                     ).alias("top_word_frac"),
+                    "dup_tri_frac")
+            .orderBy("doc_id"))
+
+
+SQL_REP_METRICS = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, unnest(words) AS word FROM base
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_c
+  FROM wc GROUP BY 1
+), tri AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 3 THEN []
+              ELSE [concat_ws(' ', words[i], words[i+1], words[i+2])
+                    FOR i IN generate_series(1, len(words)-2)] END AS tg
+  FROM base
+)
+SELECT a.doc_id, n_words, n_distinct,
+       1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_word_frac,
+       top_c / CAST(n_words AS DOUBLE) AS top_word_frac,
+       CASE WHEN len(tg) = 0 THEN 0.0
+            ELSE 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+       END AS dup_tri_frac
+FROM agg a JOIN tri USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _pii_built_text() -> Column:
+    """Deterministic PII-bearing text derived from (doc_id, text): the sf
+    tables carry no natural emails/phones/IPs, so the scrub operator is
+    exercised on a constructed-but-column-derived payload (identical CASE
+    arithmetic in the SQL twin — no randomness, no external data)."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(did % 3 == 0, F.concat(
+        F.lit("user"), s(did), F.lit("@example.com "))).otherwise(F.lit(""))
+    phone = F.when(did % 4 == 0, F.concat(
+        F.lit("tel "), s(did % 700 + 200), F.lit("-"), s(did % 900 + 100),
+        F.lit("-"), s(did % 9000 + 1000), F.lit(" "))).otherwise(F.lit(""))
+    ip = F.when(did % 5 == 0, F.concat(
+        F.lit("ip 10."), s(did % 256), F.lit("."), s((did * 7) % 256),
+        F.lit("."), s(did % 254 + 1))).otherwise(F.lit(""))
+    return F.concat(F.col("text"), F.lit(" contact "), email, phone, ip)
+
+
+_SQL_PII_BUILT = """
+concat(text, ' contact ',
+  CASE WHEN doc_id % 3 = 0
+       THEN concat('user', CAST(doc_id AS VARCHAR), '@example.com ')
+       ELSE '' END,
+  CASE WHEN doc_id % 4 = 0
+       THEN concat('tel ', CAST(doc_id % 700 + 200 AS VARCHAR), '-',
+                   CAST(doc_id % 900 + 100 AS VARCHAR), '-',
+                   CAST(doc_id % 9000 + 1000 AS VARCHAR), ' ')
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN concat('ip 10.', CAST(doc_id % 256 AS VARCHAR), '.',
+                   CAST((doc_id * 7) % 256 AS VARCHAR), '.',
+                   CAST(doc_id % 254 + 1 AS VARCHAR))
+       ELSE '' END)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents: per-category counts on the original
+    text and an md5 witness of the redacted text (byte-identity of the
+    scrubbed string is what the hash verifies cross-engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    built = _pii_built_text()
+    counts = T.pii_counts(built)
+    return (d.select(
+        "doc_id",
+        F.substring(F.md5(T.scrub_pii(built).cast("binary")), 1, 16
+                    ).alias("scrub_md5"),
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ip"].alias("n_ip"))
+        .orderBy("doc_id"))
+
+
+def _sql_pii_scrub() -> str:
+    return """
+SELECT doc_id,
+       substr(md5({scrub}), 1, 16) AS scrub_md5,
+       CAST(len(regexp_extract_all(built, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(built, '{phone}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(built, '{ip}')) AS BIGINT) AS n_ip
+FROM (SELECT doc_id, {built} AS built FROM documents)
+ORDER BY doc_id
+""".format(built=_SQL_PII_BUILT, scrub=T.sql_scrub_pii("built"),
+           email=T.PII_EMAIL, phone=T.PII_PHONE, ip=T.PII_IP)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup: scheme/www/query/fragment/
+    trailing-slash-insensitive grouping (doc_id % 50 folds 500 docs onto
+    ~50 canonical URLs; keep-min-id, count dups). One hash aggregation on
+    the canonical key — the 100 TB dedup shape."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 50).cast("string"), F.lit("/?utm_source=x&ref="),
+        F.col("doc_id").cast("string"), F.lit("#frag"))
+    return (d.select(T.canonical_url(url).alias("canon_url"), "doc_id")
+            .groupBy("canon_url")
+            .agg(F.min("doc_id").alias("keep_doc"),
+                 F.count("*").alias("dups"))
+            .orderBy("canon_url"))
+
+
+def _sql_url_dedup() -> str:
+    raw = ("concat('https://WWW.', source, '.Example.COM/p/', "
+           "CAST(doc_id % 50 AS VARCHAR), '/?utm_source=x&ref=', "
+           "CAST(doc_id AS VARCHAR), '#frag')")
+    return """
+SELECT {canon} AS canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS dups
+FROM documents
+GROUP BY 1 ORDER BY canon_url
+""".format(canon=T.sql_canonical_url(raw))
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
-    scoring over `documents` (src-tagged; covers the three text operators
-    in one registry row)."""
+    scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup over
+    `documents` (src-tagged; covers the six text-pipeline operators in one
+    registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2014,7 +2177,29 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("c2"),
         F.col("punct_ratio").alias("q1"), F.col("stopword_ratio").alias("q2"),
         F.col("quality").alias("q3"))
-    return t.unionByName(l).unionByName(q).orderBy("src", "skey", "ikey")
+    r = q_rep_metrics(spark, sf_dir).select(
+        F.lit("rep").alias("src"), F.lit("").alias("skey"),
+        F.col("doc_id").cast("bigint").alias("ikey"),
+        F.col("n_words").cast("bigint").alias("c1"),
+        F.col("n_distinct").cast("bigint").alias("c2"),
+        F.col("dup_word_frac").alias("q1"),
+        F.col("top_word_frac").alias("q2"),
+        F.col("dup_tri_frac").alias("q3"))
+    p = q_pii_scrub(spark, sf_dir).select(
+        F.lit("pii").alias("src"), F.col("scrub_md5").alias("skey"),
+        F.col("doc_id").cast("bigint").alias("ikey"),
+        F.col("n_email").cast("bigint").alias("c1"),
+        F.col("n_phone").cast("bigint").alias("c2"),
+        F.col("n_ip").cast("double").alias("q1"),
+        F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    u = q_url_dedup(spark, sf_dir).select(
+        F.lit("url").alias("src"), F.col("canon_url").alias("skey"),
+        F.col("keep_doc").cast("bigint").alias("ikey"),
+        F.col("dups").cast("bigint").alias("c1"),
+        F.lit(0).cast("bigint").alias("c2"),
+        F.lit(0.0).alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
+            .unionByName(u).orderBy("src", "skey", "ikey"))
 
 
 def _sql_text_metrics() -> str:
@@ -2034,6 +2219,21 @@ SELECT * FROM (
          CAST(n_words AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
          punct_ratio AS q1, stopword_ratio AS q2, quality AS q3
   FROM ({SQL_QUALITY_SCORE}) q
+  UNION ALL
+  SELECT 'rep' AS src, '' AS skey, CAST(doc_id AS BIGINT) AS ikey,
+         CAST(n_words AS BIGINT) AS c1, CAST(n_distinct AS BIGINT) AS c2,
+         dup_word_frac AS q1, top_word_frac AS q2, dup_tri_frac AS q3
+  FROM ({SQL_REP_METRICS}) r
+  UNION ALL
+  SELECT 'pii' AS src, scrub_md5 AS skey, CAST(doc_id AS BIGINT) AS ikey,
+         CAST(n_email AS BIGINT) AS c1, CAST(n_phone AS BIGINT) AS c2,
+         CAST(n_ip AS DOUBLE) AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_pii_scrub()}) p
+  UNION ALL
+  SELECT 'url' AS src, canon_url AS skey, CAST(keep_doc AS BIGINT) AS ikey,
+         CAST(dups AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
+         0.0 AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_url_dedup()}) u
 ) ORDER BY src, skey, ikey
 """
 

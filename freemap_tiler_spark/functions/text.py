@@ -166,3 +166,81 @@ def md5_fingerprint(text) -> Column:
 
 
 MD5_FINGERPRINT_SQL = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline: redact emails / phones / IPs)
+#
+# Patterns are chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): ASCII classes, \b boundaries, bounded repetition only.
+# Reference analogue: none (reference is a tiler); this is the webtext-axis
+# pipeline op.  Scrubbing is pure JVM regexp_replace — whole-stage codegen,
+# no UDF — so it runs at scan speed on 100 TB.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# redaction order matters for byte-identity of the scrubbed text: emails
+# first (may contain digits/dots), then IPs (dotted digits), then phones
+# (hyphenated digits).  The SQL twin must use the same order + 'g' flag.
+_PII_ORDER = [(PII_EMAIL, "[EMAIL]"), (PII_IP, "[IP]"), (PII_PHONE, "[PHONE]")]
+
+
+def pii_counts(text) -> dict[str, Column]:
+    """Per-category match counts on the ORIGINAL text (pre-redaction)."""
+    t = _c(text)
+    return {
+        "n_email": F.regexp_count(t, F.lit(PII_EMAIL)).cast("long"),
+        "n_phone": F.regexp_count(t, F.lit(PII_PHONE)).cast("long"),
+        "n_ip": F.regexp_count(t, F.lit(PII_IP)).cast("long"),
+    }
+
+
+def scrub_pii(text) -> Column:
+    """Text with every email / IPv4 / phone occurrence redacted to a
+    bracketed tag, in a fixed order so the output is byte-deterministic."""
+    t = _c(text)
+    for pat, tag in _PII_ORDER:
+        t = F.regexp_replace(t, pat, tag)
+    return t
+
+
+def sql_scrub_pii(col: str) -> str:
+    """DuckDB twin of scrub_pii (same order, 'g' = replace-all like Spark)."""
+    expr = col
+    for pat, tag in _PII_ORDER:
+        expr = "regexp_replace({e}, '{p}', '{t}', 'g')".format(e=expr, p=pat, t=tag)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (dedup key for web corpora: scheme/www/query/
+# fragment/trailing-slash-insensitive identity)
+# ---------------------------------------------------------------------------
+
+_URL_CANON_STEPS = [
+    (r"^https?://", ""),   # scheme
+    (r"^www\.", ""),       # leading www.
+    (r"[?#].*$", ""),      # query string + fragment
+    (r"/$", ""),           # trailing slash
+]
+
+
+def canonical_url(url) -> Column:
+    """Canonical form: lowercase, scheme/www./query/fragment/trailing-slash
+    stripped.  Pure JVM regexp chain; the exact-dedup key for URL dedup."""
+    u = F.lower(F.trim(_c(url)))
+    for pat, repl in _URL_CANON_STEPS:
+        u = F.regexp_replace(u, pat, repl)
+    return u
+
+
+def sql_canonical_url(col: str) -> str:
+    """DuckDB twin of canonical_url (anchored patterns: first-match ==
+    all-match, so no 'g' needed — identical semantics to Spark)."""
+    expr = "lower(trim({c}))".format(c=col)
+    for pat, repl in _URL_CANON_STEPS:
+        expr = "regexp_replace({e}, '{p}', '{r}')".format(e=expr, p=pat, r=repl)
+    return expr

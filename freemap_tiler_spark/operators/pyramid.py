@@ -168,6 +168,7 @@ def compose_pyramid(
     bands: int = 2,
     levels_per_shuffle: int = 3,
     round_cache: list | None = None,
+    approx_tiles: int | None = None,
 ) -> DataFrame:
     """(cell, payload) tiles at from_zoom -> union of ALL levels
     [to_zoom, from_zoom].  ceil((from_zoom-to_zoom)/k) shuffles.
@@ -175,7 +176,17 @@ def compose_pyramid(
     Each round's output is persisted (it feeds both the union and the next
     round).  Pass ``round_cache`` (a list) to receive those DataFrames and
     unpersist them once the returned union is materialized — otherwise one
-    cached copy per composed round leaks for the session lifetime."""
+    cached copy per composed round leaks for the session lifetime.
+
+    ``approx_tiles`` (tile count at ``from_zoom``, usually already known
+    from the caller's materializing count) arms PER-ROUND granularity
+    control: a round's group count is tiles/4^k, so a big k on the leaf
+    round can collapse the heaviest shuffle onto a handful of tasks (e.g.
+    16k leaves at k=5 -> ~20 groups, a parallelism ceiling far below even
+    a 32-core host, let alone a 1000-executor cluster).  With the hint,
+    each round picks the largest k whose group count still keeps every
+    core busy (>= 4x defaultParallelism); later (geometrically smaller)
+    rounds keep the full k so the tail stays at ~2 cheap jobs."""
     def _make_compose(k: int):
         def _compose(pdf: pd.DataFrame) -> pd.DataFrame:
             tiles = {
@@ -193,11 +204,31 @@ def compose_pyramid(
         return _compose
 
     max_k = clamp_levels_per_shuffle(levels_per_shuffle, tile_size, bands)
+    min_groups = 0
+    if approx_tiles is not None:
+        min_groups = 4 * level_df.sparkSession.sparkContext.defaultParallelism
     all_levels = level_df
     current = level_df
     z = from_zoom
     while z > to_zoom:
         k = min(max_k, z - to_zoom)
+        if min_groups > 0:
+            n_here = max(approx_tiles >> (2 * (from_zoom - z)), 1)
+            # sparse-tail deepening: a group's real payload is bounded by
+            # the level's own tile count (x2 for intermediates), not the
+            # full-subtree 4^k the static clamp assumes — so a thin tail
+            # (tens of tiles) composes straight to to_zoom in ONE round
+            # instead of burning a ~1 s near-empty Spark job per k levels
+            tile_bytes = tile_size * tile_size * bands
+            while (k < z - to_zoom and
+                   min(4 ** (k + 1), 2 * n_here) * tile_bytes
+                   <= GROUP_PIXEL_BUDGET):
+                k += 1
+            # shrink k only while shrinking can actually restore
+            # parallelism; a level too small for min_groups even at k=1
+            # keeps the full k (tiny tail round — minimize job count)
+            while k > 1 and n_here >> (2 * k) < min_groups <= n_here >> 2:
+                k -= 1
         anc = cells.ancestor(F.col("cell"), k).alias("anc")
         # persist per round: the output feeds BOTH the union and the next
         # round — without it Spark re-runs the (expensive) UDF stage once

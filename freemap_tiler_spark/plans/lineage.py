@@ -297,7 +297,7 @@ def write_pyramid(
         cache: list = []
         produced = P.compose_pyramid(
             current, z, z - k, tile_size, bands, levels_per_shuffle=k,
-            round_cache=cache,
+            round_cache=cache, approx_tiles=out.get(z),
         ).where(P.cells.cell_zoom("cell") < z)
         produced = produced.persist()
         for lv in sorted(group, reverse=True):

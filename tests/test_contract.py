@@ -19,6 +19,7 @@ FAST = [
     "pip_join",
     "exact_dedup",
     "simhash",
+    "text_metrics",  # incl. the r5 rep/pii/url legs
 ]
 
 

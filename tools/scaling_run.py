@@ -76,6 +76,33 @@ spark.sparkContext.setLogLevel("ERROR")
 # throughput property — on a real cluster executors are long-lived
 spark.range(cpus * 8, numPartitions=cpus * 8).select(
     F.pandas_udf("long")(lambda s: s)("id").alias("x")).agg(F.sum("x")).collect()
+# warm the JVM side too: the FIRST use of each physical path in a session
+# (whole-stage codegen compile, shuffle machinery, parquet committer,
+# window exec, broadcast exchange) pays a one-time JIT/classloading cost
+# of 1-3 s that would otherwise land inside whichever measured stage hits
+# the path first — identical at both core counts, so it only depresses
+# the ratio.  Long-lived cluster executors run steady-state; excluded on
+# the same grounds as python-worker spool-up above.  (Measured: first
+# parquet write in a session 4.1 s, second 1.3 s, same data.)
+import numpy as np
+_wb = raster_blocks(spark, grid=4, width=64, height=64, bands=2)
+_wl = raster_ops.warp_blocks_to_tiles(_wb, 3, TILE)
+_wlv = pyramid.compose_pyramid(_wl, 3, 0, TILE, 2, levels_per_shuffle=2)
+_wd = tempfile.mkdtemp(prefix="warm_", dir="/dev/shm")
+pyramid.with_tile_keys(_wlv).drop("cell").repartitionByRange(
+    2, "zoom", "x").write.mode("overwrite").partitionBy("zoom").parquet(_wd)
+shutil.rmtree(_wd, ignore_errors=True)
+_wp = geotagged_corpus(spark, 2000).select(
+    T.geo_lon("text").alias("lon"), T.geo_lat("text").alias("lat")).dropna()
+_qx = [17.0, 21.5, 21.0, 16.9]; _qy = [47.9, 48.0, 49.4, 49.3]
+_pl = [{"poly_id": 1, "tag": "q",
+        "rings": [(np.asarray(_qx), np.asarray(_qy))],
+        "bbox": (min(_qx), min(_qy), max(_qx), max(_qy))}]
+pip_join.pip_join_broadcast(_wp, _pl).count()
+knn.knn_join(
+    _wp.limit(50).withColumn("probe_id", F.xxhash64("lon", "lat")),
+    _wp.withColumn("point_id", F.monotonically_increasing_id()),
+    k=5, zoom=14).count()
 q = {}
 
 # ---- raster pyramid (dense tiles: the reference's orthophoto shape) ----
@@ -87,7 +114,7 @@ q["rasterize"] = time.time() - t0   # == warp stage
 
 t0 = time.time()
 rc = []
-levels = pyramid.compose_pyramid(leaves, maxz, 0, TILE, 2, levels_per_shuffle=5, round_cache=rc).persist(StorageLevel.MEMORY_AND_DISK)
+levels = pyramid.compose_pyramid(leaves, maxz, 0, TILE, 2, levels_per_shuffle=5, round_cache=rc, approx_tiles=n_leaves).persist(StorageLevel.MEMORY_AND_DISK)
 n_tiles = levels.count()
 for df in rc:
     df.unpersist()
@@ -99,8 +126,11 @@ q["encode"] = time.time() - t0
 
 t0 = time.time()
 out = tempfile.mkdtemp(prefix="scale_", dir="/dev/shm")  # sink == parallel storage on a real cluster
-pyramid.with_tile_keys(levels).drop("cell").repartition(cpus).write.mode(
-    "overwrite").partitionBy("zoom").parquet(out)
+# range-partition on (zoom, x): ~cpus + zooms output files instead of
+# cpus * zooms (file count — and the driver's serial commit renames —
+# must not grow with parallelism)
+pyramid.with_tile_keys(levels).drop("cell").repartitionByRange(
+    cpus, "zoom", "x").write.mode("overwrite").partitionBy("zoom").parquet(out)
 q["write"] = time.time() - t0
 shutil.rmtree(out, ignore_errors=True)
 leaves.unpersist(); levels.unpersist()
