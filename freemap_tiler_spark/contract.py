@@ -2154,11 +2154,61 @@ GROUP BY 1 ORDER BY canon_url
 """.format(canon=T.sql_canonical_url(raw))
 
 
+DUP_SPAN_N = 8
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (dedup.duplicate_spans — Lee et al.
+    2022): maximal token spans whose 8-token windows re-occur corpus-wide.
+    Planted duplicates (every doc_id % 10 re-appears under id+100000, the
+    simhash fixture) guarantee full-document spans; organic repeats in the
+    synthetic corpus surface as partial spans."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    planted = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return (dedup.duplicate_spans(planted, n=DUP_SPAN_N)
+            .orderBy("doc_id", "tok_start"))
+
+
+def _sql_dup_spans() -> str:
+    n = DUP_SPAN_N
+    return rf"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+all_docs AS (SELECT doc_id, text FROM base
+             UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0),
+tok AS (SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') t FROM all_docs),
+pos AS (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - {n} + 2)) AS pos1
+        FROM tok WHERE LEN(t) >= {n}),
+wh AS (SELECT doc_id, pos1 - 1 AS pos,
+              CAST(('0x' || substr(md5(ARRAY_TO_STRING(t[pos1:pos1 + {n} - 1], ' ')), 1, 15)) AS BIGINT) whash
+       FROM pos),
+hot AS (SELECT whash, count(*) occ FROM wh GROUP BY 1 HAVING count(*) >= 2),
+hits AS (SELECT wh.doc_id, wh.pos, hot.occ FROM wh JOIN hot USING (whash)),
+isl AS (SELECT doc_id, pos, occ,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {n}
+                    THEN 0 ELSE 1 END AS new_isl
+        FROM hits),
+sp AS (SELECT doc_id, pos, occ,
+              SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+       FROM isl)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS tok_start,
+       CAST(MAX(pos) + {n} AS BIGINT) AS tok_end,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(MAX(occ) AS BIGINT) AS max_occ
+FROM sp GROUP BY doc_id, span_id
+ORDER BY doc_id, tok_start
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
-    scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup over
-    `documents` (src-tagged; covers the six text-pipeline operators in one
-    registry row)."""
+    scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup ∪
+    duplicate-span substring dedup over `documents` (src-tagged; covers
+    the seven text-pipeline operators in one registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2198,8 +2248,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dups").cast("bigint").alias("c1"),
         F.lit(0).cast("bigint").alias("c2"),
         F.lit(0.0).alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    s = q_dup_spans(spark, sf_dir).select(
+        F.lit("span").alias("src"), F.lit("").alias("skey"),
+        F.col("doc_id").cast("bigint").alias("ikey"),
+        F.col("tok_start").cast("bigint").alias("c1"),
+        F.col("tok_end").cast("bigint").alias("c2"),
+        F.col("n_windows").cast("double").alias("q1"),
+        F.col("max_occ").cast("double").alias("q2"),
+        F.lit(0.0).alias("q3"))
     return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
-            .unionByName(u).orderBy("src", "skey", "ikey"))
+            .unionByName(u).unionByName(s).orderBy("src", "skey", "ikey"))
 
 
 def _sql_text_metrics() -> str:
@@ -2234,6 +2292,12 @@ SELECT * FROM (
          CAST(dups AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
          0.0 AS q1, 0.0 AS q2, 0.0 AS q3
   FROM ({_sql_url_dedup()}) u
+  UNION ALL
+  SELECT 'span' AS src, '' AS skey, CAST(doc_id AS BIGINT) AS ikey,
+         CAST(tok_start AS BIGINT) AS c1, CAST(tok_end AS BIGINT) AS c2,
+         CAST(n_windows AS DOUBLE) AS q1, CAST(max_occ AS DOUBLE) AS q2,
+         0.0 AS q3
+  FROM ({_sql_dup_spans()}) s
 ) ORDER BY src, skey, ikey
 """
 

@@ -359,3 +359,77 @@ def connected_components(
     sym = _sym(cur)
     labels = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
     return labels.select(F.col("u").alias("node"), "component")
+
+
+def window_hashes(text_col, n: int = 8) -> Column:
+    """array<long> of 60-bit hashes of every n-token window (stride 1).
+
+    Same tokenization (lower + whitespace split) and hash (md5-60) as the
+    MinHash family, so the DuckDB oracle reproduces it bit-for-bit.
+    Documents shorter than ``n`` tokens emit no windows (a span shorter
+    than the match length cannot be a duplicate-substring hit).
+    """
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    m = F.size(toks)
+    idx = F.sequence(F.lit(0), m - n)
+    return F.when(
+        m >= n,
+        F.transform(idx, lambda i: token_hash(F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ))),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    token span whose n-token windows all re-occur elsewhere in the
+    corpus (>= ``min_count`` total occurrences), per document.
+
+    Returns (id_col, tok_start, tok_end, n_windows, max_occ): token
+    half-open span [tok_start, tok_end), the number of duplicated
+    windows merged into it, and the hottest window's corpus count.
+
+    100 TB shape (suffix arrays don't distribute; rolling window hashes
+    do): one shuffle on whash for the corpus-wide occurrence count (map-
+    side combined; output is one row per *duplicated* hash — tiny vs the
+    corpus), one hash equi-join back to window positions, one per-doc
+    window for the gaps-and-islands span merge.  A boilerplate window
+    shared by millions of docs is ONE row in `hot` (no skew on the agg);
+    the join back is an equi-join AQE can skew-split.  No UDFs, no
+    driver actions.
+    """
+    wh = df.select(
+        F.col(id_col),
+        F.posexplode(window_hashes(F.col(text_col), n)).alias("pos", "whash"),
+    )
+    hot = (wh.groupBy("whash").agg(F.count("*").alias("occ"))
+             .where(F.col("occ") >= min_count))
+    hits = wh.join(hot, "whash").select(id_col, "pos", "occ")
+    # gaps-and-islands: windows at pos p, p' belong to one span when
+    # p' - p <= n (they overlap or touch in token space)
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "span_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("tok_start"),
+            (F.max("pos") + n).cast("bigint").alias("tok_end"),
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.max("occ").cast("bigint").alias("max_occ"),
+        )
+        .drop("span_id")
+    )

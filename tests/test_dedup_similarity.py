@@ -369,3 +369,59 @@ def test_embedding_hot_bucket_star_cap(spark):
     comp = dedup.connected_components(pairs.select("id_a", "id_b"))
     assert comp.select("component").distinct().count() == 1
     assert comp.count() == n
+
+
+def test_duplicate_spans_planted_substring(spark):
+    """Substring-level dedup (Lee et al. 2022): a 12-token boilerplate
+    pasted into the middle of otherwise-unique docs must surface as one
+    maximal span per doc covering exactly the pasted tokens; unique docs
+    emit no spans."""
+    n = 8
+    boiler = " ".join(f"b{j}" for j in range(12))  # 12 shared tokens
+    docs = []
+    for i in range(6):
+        uniq_a = " ".join(f"u{i}x{j}" for j in range(10))
+        uniq_b = " ".join(f"u{i}y{j}" for j in range(10))
+        docs.append((i, f"{uniq_a} {boiler} {uniq_b}"))
+    # two fully-unique docs: no duplicated windows at all
+    docs.append((100, " ".join(f"solo{j}" for j in range(40))))
+    docs.append((101, " ".join(f"alone{j}" for j in range(40))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = dedup.duplicate_spans(df, n=n).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(6))  # solo docs clean
+    for i in range(6):
+        spans = by_doc[i]
+        assert len(spans) == 1  # one maximal span, not fragments
+        s = spans[0]
+        # boilerplate occupies tokens [10, 22); windows of 8 duplicated
+        # corpus-wide start at 10..14 -> span [10, 22), 5 windows, occ 6
+        assert (s.tok_start, s.tok_end, s.n_windows, s.max_occ) == (10, 22, 5, 6)
+
+
+def test_duplicate_spans_merges_touching_islands(spark):
+    """Duplicated windows at positions p, p+n produce TOUCHING spans
+    ([p,p+n) + [p+n,p+2n)) and must merge into one; one extra token of
+    separation (p, p+n+1) keeps them apart."""
+    n = 8
+    X = " ".join(f"x{j}" for j in range(n))
+    Y = " ".join(f"y{j}" for j in range(n))
+    docs = [
+        # A: X immediately followed by Y -> dup windows at 0 (via B) and
+        # n (via C); boundary windows exist only here, so not duplicated
+        (0, f"{X} {Y}"),
+        # A2: X, one unique token, Y -> dup windows at 0 and n+1
+        (1, f"{X} gap {Y}"),
+        # B/C donate the duplicate occurrences of X and Y respectively
+        (2, f"{X} " + " ".join(f"btail{j}" for j in range(n))),
+        (3, " ".join(f"chead{j}" for j in range(n)) + f" {Y}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.duplicate_spans(df, n=n).collect()
+    a_spans = sorted((r.tok_start, r.tok_end) for r in out if r.doc_id == 0)
+    assert a_spans == [(0, 2 * n)]  # touching spans merged
+    a2_spans = sorted((r.tok_start, r.tok_end) for r in out if r.doc_id == 1)
+    assert a2_spans == [(0, n), (n + 1, 2 * n + 1)]  # one-token gap splits
