@@ -2204,11 +2204,79 @@ ORDER BY doc_id, tok_start
 """
 
 
+def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (dedup.scrub_spans — Lee et al. 2022 §3.2):
+    cut duplicated spans from all but their canonical occurrence over the
+    same planted corpus as q_dup_spans.  Emits only affected docs
+    (n_removed > 0) with an md5 of the rebuilt text, so the oracle checks
+    the exact surviving token sequence."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    planted = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return (dedup.scrub_spans(planted, n=DUP_SPAN_N)
+            .where(F.col("n_removed") > 0)
+            .select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                    "n_tokens", "n_removed")
+            .orderBy("doc_id"))
+
+
+def _sql_scrub_spans() -> str:
+    n = DUP_SPAN_N
+    return rf"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+all_docs AS (SELECT doc_id, text FROM base
+             UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0),
+tok AS (SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') t,
+               string_split_regex(TRIM(text), '\s+') t_orig FROM all_docs),
+pos AS (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - {n} + 2)) AS pos1
+        FROM tok WHERE LEN(t) >= {n}),
+wh AS (SELECT doc_id, pos1 - 1 AS pos,
+              CAST(('0x' || substr(md5(ARRAY_TO_STRING(t[pos1:pos1 + {n} - 1], ' ')), 1, 15)) AS BIGINT) whash
+       FROM pos),
+hot AS (SELECT whash FROM wh GROUP BY 1 HAVING count(*) >= 2),
+hits AS (SELECT wh.doc_id, wh.pos, wh.whash FROM wh JOIN hot USING (whash)),
+flagged AS (SELECT doc_id, pos,
+                   (ROW_NUMBER() OVER (PARTITION BY whash ORDER BY doc_id, pos) = 1) AS kept
+            FROM hits),
+isl AS (SELECT doc_id, pos, kept,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {n}
+                    THEN 0 ELSE 1 END AS new_isl
+        FROM flagged),
+sp AS (SELECT doc_id, pos, kept,
+              SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+       FROM isl),
+cut AS (SELECT doc_id, MIN(pos) s, MAX(pos) + {n} e
+        FROM sp GROUP BY doc_id, span_id
+        HAVING MAX(CASE WHEN kept THEN 1 ELSE 0 END) = 0),
+tokpos AS (SELECT doc_id, t_orig[p1] tk, p1 - 1 p FROM
+           (SELECT doc_id, t_orig, UNNEST(RANGE(1, LEN(t_orig) + 1)) AS p1
+            FROM tok)),
+keep_toks AS (SELECT tp.doc_id, tp.tk, tp.p FROM tokpos tp
+              ANTI JOIN cut c
+              ON tp.doc_id = c.doc_id AND tp.p >= c.s AND tp.p < c.e),
+clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) ctext,
+                 count(*) ntok
+          FROM keep_toks GROUP BY doc_id)
+SELECT a.doc_id,
+       md5(COALESCE(c.ctext, '')) AS clean_md5,
+       CAST(COALESCE(c.ntok, 0) AS BIGINT) AS n_tokens,
+       CAST(LEN(string_split_regex(TRIM(a.text), '\s+')) - COALESCE(c.ntok, 0) AS BIGINT) AS n_removed
+FROM all_docs a LEFT JOIN clean c USING (doc_id)
+WHERE LEN(string_split_regex(TRIM(a.text), '\s+')) - COALESCE(c.ntok, 0) > 0
+ORDER BY a.doc_id
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
     scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup ∪
-    duplicate-span substring dedup over `documents` (src-tagged; covers
-    the seven text-pipeline operators in one registry row)."""
+    duplicate-span substring dedup ∪ ExactSubstr scrub over `documents`
+    (src-tagged; covers the eight text-pipeline operators in one
+    registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2256,8 +2324,15 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_windows").cast("double").alias("q1"),
         F.col("max_occ").cast("double").alias("q2"),
         F.lit(0.0).alias("q3"))
+    sc = q_scrub_spans(spark, sf_dir).select(
+        F.lit("scrub").alias("src"), F.col("clean_md5").alias("skey"),
+        F.col("doc_id").cast("bigint").alias("ikey"),
+        F.col("n_tokens").cast("bigint").alias("c1"),
+        F.col("n_removed").cast("bigint").alias("c2"),
+        F.lit(0.0).alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
     return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
-            .unionByName(u).unionByName(s).orderBy("src", "skey", "ikey"))
+            .unionByName(u).unionByName(s).unionByName(sc)
+            .orderBy("src", "skey", "ikey"))
 
 
 def _sql_text_metrics() -> str:
@@ -2298,6 +2373,11 @@ SELECT * FROM (
          CAST(n_windows AS DOUBLE) AS q1, CAST(max_occ AS DOUBLE) AS q2,
          0.0 AS q3
   FROM ({_sql_dup_spans()}) s
+  UNION ALL
+  SELECT 'scrub' AS src, clean_md5 AS skey, CAST(doc_id AS BIGINT) AS ikey,
+         CAST(n_tokens AS BIGINT) AS c1, CAST(n_removed AS BIGINT) AS c2,
+         0.0 AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_scrub_spans()}) sc
 ) ORDER BY src, skey, ikey
 """
 

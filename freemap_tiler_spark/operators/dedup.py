@@ -433,3 +433,84 @@ def duplicate_spans(
         )
         .drop("span_id")
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022 §3.2): cut every maximal
+    duplicated span from every document EXCEPT its canonical occurrence,
+    so each duplicated substring survives exactly once corpus-wide.
+
+    Canonical occurrence of a duplicated n-token window = the corpus-wide
+    minimum (doc, pos) pair holding it; a span is kept iff it contains at
+    least one canonical window, otherwise its token range is removed.
+    Deterministic: ties cannot occur ((doc, pos) is unique).
+
+    Returns (id_col, clean_text, n_tokens, n_removed): the document with
+    scrubbed spans cut out (whitespace-normalized: tokens re-joined with
+    single spaces), its surviving token count, and how many tokens were
+    removed.  Original token casing is preserved (hashing lowercases,
+    cutting operates on positions).
+
+    100 TB shape: duplicate_spans' plan plus one map-side-combinable
+    min(struct(doc, pos)) per duplicated hash and one equi-join of each
+    doc against its own (tiny) scrub-interval list; the text rebuild is
+    pure JVM higher-order-function Column work (transform/filter/exists/
+    concat_ws) — no UDFs, no driver actions, no extra full-corpus
+    shuffle beyond the per-doc interval join.
+    """
+    from pyspark.sql import Window
+
+    wh = df.select(
+        F.col(id_col),
+        F.posexplode(window_hashes(F.col(text_col), n)).alias("pos", "whash"),
+    )
+    hot = (wh.groupBy("whash").agg(F.count("*").alias("occ"))
+             .where(F.col("occ") >= min_count).select("whash"))
+    hits = wh.join(hot, "whash")
+    keeper = hits.groupBy("whash").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("k")
+    )
+    flagged = hits.join(keeper, "whash").select(
+        id_col, "pos",
+        ((F.col(f"k.d") == F.col(id_col)) & (F.col("k.p") == F.col("pos")))
+        .alias("kept"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = flagged.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "span_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cut = (
+        isl.groupBy(id_col, "span_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"),
+             F.max(F.col("kept").cast("int")).alias("keep"))
+        .where(F.col("keep") == 0)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ivs = F.coalesce(F.col("ivs"), F.expr(
+        "CAST(array() AS array<struct<s:int,e:int>>)"))
+    indexed = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(ivs, lambda iv: (s["i"] >= iv["s"]) & (s["i"] < iv["e"])),
+    )
+    return (
+        df.join(cut, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", F.transform(indexed, lambda s: s["t"]))
+            .alias("clean_text"),
+            F.size(indexed).cast("bigint").alias("n_tokens"),
+            (F.size(toks) - F.size(indexed)).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -425,3 +425,37 @@ def test_duplicate_spans_merges_touching_islands(spark):
     assert a_spans == [(0, 2 * n)]  # touching spans merged
     a2_spans = sorted((r.tok_start, r.tok_end) for r in out if r.doc_id == 1)
     assert a2_spans == [(0, n), (n + 1, 2 * n + 1)]  # one-token gap splits
+
+
+def test_scrub_spans_keeps_one_canonical_occurrence(spark):
+    """ExactSubstr removal: the canonical (lowest doc_id, pos) occurrence
+    of a duplicated span survives; every other occurrence is cut; casing
+    is preserved; unique docs pass through untouched."""
+    n = 8
+    boiler = " ".join(f"B{j}" for j in range(12))  # uppercase: casing check
+    docs = []
+    for i in range(4):
+        ua = " ".join(f"u{i}x{j}" for j in range(10))
+        ub = " ".join(f"u{i}y{j}" for j in range(10))
+        docs.append((i, f"{ua} {boiler} {ub}"))
+    docs.append((9, " ".join(f"solo{j}" for j in range(15))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.scrub_spans(df, n=n).collect()}
+    assert set(out) == {0, 1, 2, 3, 9}
+    # doc 0 holds the canonical windows -> untouched, casing intact
+    assert out[0].n_removed == 0 and f" {boiler} " in f" {out[0].clean_text} "
+    for i in (1, 2, 3):
+        assert out[i].n_removed == 12 and out[i].n_tokens == 20
+        assert "B0" not in out[i].clean_text
+        assert f"u{i}x9 u{i}y0" in out[i].clean_text  # splice is seamless
+    assert out[9].n_removed == 0 and out[9].n_tokens == 15
+
+
+def test_scrub_spans_identical_docs_full_scrub(spark):
+    """Two byte-identical docs: the lower doc_id keeps everything, the
+    clone is scrubbed to the empty string."""
+    text = " ".join(f"w{j}" for j in range(20))
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.scrub_spans(df, n=8).collect()}
+    assert out[1].n_removed == 0 and out[1].n_tokens == 20
+    assert out[2].clean_text == "" and out[2].n_tokens == 0 and out[2].n_removed == 20
