@@ -146,6 +146,16 @@ def main() -> None:
     check("ann_topk: broadcast candidate re-attach, no cartesian", p,
           ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"])
 
+    # 12. ExactSubstr scrub (r5): window-hash equi-joins only, and the
+    # whole span-detect + text-rebuild pipeline stays JVM-side (higher-
+    # order functions, no Python eval)
+    from freemap_tiler_spark.operators import dedup as _dd
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    p = plan_of(_dd.scrub_spans(docs))
+    check("scrub_spans: hash equi-joins, JVM-only rebuild", p, ["Join"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+           "ArrowEvalPython"])
+
     report.append(f"\nFAILURES: {failures or 'none'}")
     out = "\n".join(report)
     with open("BENCH/explain_audit.md", "w") as f:
