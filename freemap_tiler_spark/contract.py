@@ -2271,12 +2271,47 @@ ORDER BY a.doc_id
 """
 
 
+MIX_ALPHA = 0.5
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-smoothed domain mixture sampling (operators/mixing.py —
+    the XLM/mT5 p_d ∝ n_d^alpha recipe) over `documents` keyed by the
+    skewed `lang` column: per-language input size, DETERMINISTIC kept
+    size, and keep-rate."""
+    from freemap_tiler_spark.operators import mixing
+
+    d = load_table(spark, sf_dir, "documents")
+    return (mixing.mix_audit(d, domain_col="lang", alpha=MIX_ALPHA)
+            .orderBy("lang"))
+
+
+def _sql_domain_mix() -> str:
+    a = MIX_ALPHA
+    return rf"""
+WITH counts AS (SELECT lang, count(*) n_d FROM documents GROUP BY 1),
+tot AS (SELECT SUM(POW(n_d, {a})) wsum, SUM(n_d) n_tot FROM counts),
+rates AS (SELECT lang, n_d,
+                 LEAST(1.0, n_tot * POW(n_d, {a}) / wsum / n_d) rate
+          FROM counts, tot),
+kept AS (SELECT d.lang, count(*) n_out
+         FROM documents d JOIN rates r USING (lang)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 < r.rate
+         GROUP BY 1)
+SELECT r.lang, CAST(r.n_d AS BIGINT) AS n_in,
+       CAST(COALESCE(k.n_out, 0) AS BIGINT) AS n_out, r.rate
+FROM rates r LEFT JOIN kept k USING (lang)
+ORDER BY r.lang
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
     scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup ∪
-    duplicate-span substring dedup ∪ ExactSubstr scrub over `documents`
-    (src-tagged; covers the eight text-pipeline operators in one
-    registry row)."""
+    duplicate-span substring dedup ∪ ExactSubstr scrub ∪ domain-mixture
+    sampling over `documents` (src-tagged; covers the nine text-pipeline
+    operators in one registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2330,8 +2365,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("c1"),
         F.col("n_removed").cast("bigint").alias("c2"),
         F.lit(0.0).alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    m = q_domain_mix(spark, sf_dir).select(
+        F.lit("mix").alias("src"), F.col("lang").alias("skey"),
+        F.col("n_out").cast("bigint").alias("ikey"),
+        F.col("n_in").cast("bigint").alias("c1"),
+        F.lit(0).cast("bigint").alias("c2"),
+        F.col("rate").alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
     return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
-            .unionByName(u).unionByName(s).unionByName(sc)
+            .unionByName(u).unionByName(s).unionByName(sc).unionByName(m)
             .orderBy("src", "skey", "ikey"))
 
 
@@ -2378,6 +2419,11 @@ SELECT * FROM (
          CAST(n_tokens AS BIGINT) AS c1, CAST(n_removed AS BIGINT) AS c2,
          0.0 AS q1, 0.0 AS q2, 0.0 AS q3
   FROM ({_sql_scrub_spans()}) sc
+  UNION ALL
+  SELECT 'mix' AS src, lang AS skey, CAST(n_out AS BIGINT) AS ikey,
+         CAST(n_in AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
+         rate AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_domain_mix()}) mx
 ) ORDER BY src, skey, ikey
 """
 

@@ -74,3 +74,65 @@ def test_rep_metrics_planted_repetition(spark, sf_dir, tmp_path):
     # trigrams of the 9-word doc: 7 total, 3 distinct ('a b c','b c a','c a b')
     assert r0["dup_tri_frac"] == pytest.approx(1 - 3 / 7)
     assert r1["dup_word_frac"] == 0.0 and r1["dup_tri_frac"] == 0.0
+
+
+def test_domain_mix_alpha_smoothing(spark):
+    """Alpha-sampling over a planted 900/90/10 skew: hot domain is cut
+    toward its smoothed share, cold domains keep rate 1; the sample is a
+    deterministic subset and n_out matches an independent numpy replay of
+    the same md5 hash rule."""
+    import hashlib
+
+    from freemap_tiler_spark.operators import mixing
+
+    rows = []
+    sizes = {"web": 900, "wiki": 90, "books": 10}
+    i = 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    audit = {r.source: r for r in mixing.mix_audit(df, alpha=0.5).collect()}
+    wsum = sum(n ** 0.5 for n in sizes.values())
+    tot = sum(sizes.values())
+    for dom, n in sizes.items():
+        rate = min(1.0, tot * (n ** 0.5) / wsum / n)
+        assert audit[dom].n_in == n
+        assert audit[dom].rate == pytest.approx(rate, abs=1e-12)
+        # independent replay of the deterministic draw
+        exp = sum(
+            1 for did, d in rows if d == dom
+            and int(hashlib.md5(f"{did}:mix".encode()).hexdigest()[:15], 16)
+            / float(1 << 60) < rate
+        )
+        assert audit[dom].n_out == exp
+    assert audit["books"].rate == 1.0 and audit["books"].n_out == 10
+    # hot domain genuinely downsampled: 1000 * 30 / (30+sqrt(90)+sqrt(10)) / 900
+    assert audit["web"].rate == pytest.approx(0.78157, abs=1e-4)
+
+    # the sample itself: subset of input, exactly the audited sizes,
+    # identical on a second run
+    s1 = {r.doc_id for r in mixing.domain_mix(df, alpha=0.5).collect()}
+    s2 = {r.doc_id for r in mixing.domain_mix(df, alpha=0.5).collect()}
+    assert s1 == s2
+    assert len(s1) == sum(a.n_out for a in audit.values())
+    assert s1 <= {did for did, _ in rows}
+
+
+def test_domain_mix_target_rows_budget(spark):
+    """target_rows scales every rate: a 10x smaller budget cuts every
+    domain (no clamp at 1 for the cold ones any more)."""
+    from freemap_tiler_spark.operators import mixing
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common").alias("source"),
+    )
+    audit = {r.source: r for r in
+             mixing.mix_audit(df, alpha=0.5, target_rows=100).collect()}
+    assert audit["common"].rate < 1.0 and audit["rare"].rate < 1.0
+    kept = mixing.domain_mix(df, alpha=0.5, target_rows=100).count()
+    assert kept == sum(a.n_out for a in audit.values())
+    assert 50 <= kept <= 150  # hash draw lands near the budget
