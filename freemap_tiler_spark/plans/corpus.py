@@ -1,0 +1,104 @@
+"""End-to-end training-corpus cleaning pipeline.
+
+Composes the engine's text operators into the standard web-corpus recipe
+(C4 / Gopher / Lee et al. order):
+
+    quality filter -> PII redaction -> exact dedup (keep-one)
+    -> ExactSubstr span scrub -> post-scrub length filter
+    -> alpha-smoothed domain mixture sample
+
+Every stage is the already-tested declarative operator; this module only
+wires them and exposes per-stage row counters.  Nothing here collects:
+``clean_corpus`` returns (clean DataFrame, counters DataFrame) and the
+caller materializes either — so on a cluster the whole pipeline is one
+logical plan Catalyst can prune through (e.g. a downstream ``select``
+of doc_id only drops the rebuilt text from earlier stages).
+
+100 TB shape: the corpus-wide shuffles are exactly those of the member
+operators (one fingerprint agg, one window-hash agg + equi-join, one
+per-domain count); stages communicate by column, not by materialized
+intermediates, and the keep-decisions (dedup keep-one, mixture draw) are
+deterministic so a resumed/re-run job reproduces the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.functions import text as T
+from freemap_tiler_spark.operators import dedup, mixing
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str | None = "lang",
+    min_quality: float = 0.3,
+    min_words: int = 5,
+    span_n: int = 8,
+    mix_alpha: float = 0.5,
+    mix_target_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full cleaning recipe; return (clean_df, counters_df).
+
+    clean_df columns: the input's, with ``text_col`` replaced by the
+    scrubbed/rebuilt text and a ``quality`` column attached.
+    counters_df: (stage, rows) — one row per pipeline stage, in order,
+    counting the rows that SURVIVE that stage.  Stage order is fixed:
+    input, quality, dedup, scrub, length, mix (mix row absent when
+    ``domain_col`` is None).
+    """
+    stages: list[tuple[str, DataFrame]] = [("input", df)]
+
+    # 1. quality + PII: keep docs above the C4/Gopher-style score, redact
+    # PII in the survivors (redaction never drops rows)
+    q = (
+        df.withColumn("quality", T.quality_score(F.col(text_col)))
+        .where(
+            (F.col("quality") >= min_quality)
+            & (T.ws_token_count(F.col(text_col)) >= min_words)
+        )
+        .withColumn(text_col, T.scrub_pii(F.col(text_col)))
+    )
+    stages.append(("quality", q))
+
+    # 2. exact dedup: keep the lowest-id doc per identical text
+    keep = dedup.exact_dedup(q, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    d = q.join(keep, id_col, "semi")
+    stages.append(("dedup", d))
+
+    # 3. ExactSubstr scrub: cut duplicated spans (canonical occurrence
+    # survives), swap in the rebuilt text
+    scrubbed = dedup.scrub_spans(d, text_col, id_col, n=span_n).select(
+        id_col, F.col("clean_text"), F.col("n_tokens")
+    )
+    s = (
+        d.drop(text_col)
+        .join(scrubbed, id_col)
+        .withColumnRenamed("clean_text", text_col)
+    )
+    stages.append(("scrub", s))
+
+    # 4. post-scrub length floor: a doc hollowed out by span removal
+    # (e.g. a full clone) no longer qualifies
+    ln = s.where(F.col("n_tokens") >= min_words).drop("n_tokens")
+    stages.append(("length", ln))
+
+    out = ln
+    if domain_col is not None:
+        out = mixing.domain_mix(
+            ln, domain_col, id_col, alpha=mix_alpha, target_rows=mix_target_rows
+        ).drop("n_d", "rate")
+        stages.append(("mix", out))
+
+    counters = None
+    for i, (name, sdf) in enumerate(stages):
+        row = sdf.agg(F.count("*").alias("rows")).select(
+            F.lit(i).alias("ord"), F.lit(name).alias("stage"), "rows"
+        )
+        counters = row if counters is None else counters.unionByName(row)
+    return out, counters.orderBy("ord").drop("ord")

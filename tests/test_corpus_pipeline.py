@@ -1,0 +1,69 @@
+"""End-to-end corpus cleaning plan: stage counters, determinism,
+dedup-to-fixpoint on a controlled corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from freemap_tiler_spark.operators import dedup
+from freemap_tiler_spark.plans.corpus import clean_corpus
+
+pytestmark = pytest.mark.spark
+
+
+def _corpus(spark):
+    boiler = " ".join(f"B{j}" for j in range(12))
+    rows = []
+    # 6 good docs sharing a boilerplate block, 2 domains
+    for i in range(6):
+        ua = " ".join(f"the quick u{i}x{j} and of to in" for j in range(4))
+        rows.append((i, f"{ua} {boiler}", "en" if i % 2 else "de"))
+    # exact clone of doc 0 (higher id -> must drop)
+    rows.append((100, rows[0][1], rows[0][2]))
+    # junk doc: punct+digit noise (score = 1 - 0.5 - 0.3 = 0.2 < 0.3)
+    rows.append((200, "!9! ?8? #7# $6$ %5% ^4^ &3& *2* (1( )0) !9! ?8?", "en"))
+    # too-short doc
+    rows.append((201, "tiny doc", "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_clean_corpus_stages_and_counts(spark):
+    df = _corpus(spark)
+    clean, counters = clean_corpus(
+        df, min_quality=0.3, min_words=5, span_n=8, domain_col="lang"
+    )
+    c = {r.stage: r.rows for r in counters.collect()}
+    assert list(c) == ["input", "quality", "dedup", "scrub", "length", "mix"]
+    assert c["input"] == 9
+    assert c["quality"] == 7          # junk + tiny dropped
+    assert c["dedup"] == 6            # exact clone dropped
+    assert c["scrub"] == 6            # scrub never drops rows
+    assert c["length"] >= 5           # hollowed-out docs (if any) drop here
+    assert c["mix"] <= c["length"]
+    # monotone non-increasing through the funnel
+    vals = list(c.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    out = clean.collect()
+    ids = {r.doc_id for r in out}
+    assert 100 not in ids and 200 not in ids and 201 not in ids
+    # quality column attached, text rebuilt
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+
+
+def test_clean_corpus_reaches_substring_fixpoint(spark):
+    """After keep-one span scrubbing, re-running duplicate_spans on the
+    cleaned corpus (no mixing) finds nothing: every duplicated n-token
+    window survived exactly once."""
+    df = _corpus(spark)
+    clean, _ = clean_corpus(df, min_quality=0.0, min_words=1, domain_col=None)
+    again = dedup.duplicate_spans(clean, n=8)
+    assert again.count() == 0
+
+
+def test_clean_corpus_deterministic(spark):
+    df = _corpus(spark).repartition(7)
+    a, _ = clean_corpus(df)
+    b, _ = clean_corpus(df.repartition(3))
+    sa = {(r.doc_id, r.text) for r in a.collect()}
+    sb = {(r.doc_id, r.text) for r in b.collect()}
+    assert sa == sb
