@@ -57,6 +57,35 @@ def _calibrate() -> float:
     return round((time.time() - t) * 1000, 1)
 
 
+def _host_state(calib: float, hist_path: str) -> dict:
+    """Unambiguous host-condition block for the emitted JSON (round-5):
+    the run's calibration vs the all-history clean floor, plus a
+    first-touch page-fault bandwidth probe — the two host pathologies
+    this VM exhibits (neighbor CPU contention; a hypervisor fault path
+    that has been measured as low as 10 MB/s, which inverts byte-heavy
+    stage scaling).  Lets a consumer separate engine regressions from
+    host episodes without archaeology."""
+    import numpy as _np
+
+    floor = None
+    try:
+        with open(hist_path) as fh:
+            floor = min(
+                json.loads(ln)["calib_ms"] for ln in fh if '"calib_ms"' in ln
+            )
+    except (OSError, ValueError):
+        pass
+    t = time.time()
+    x = _np.empty(25 * 1024 * 1024 // 8)
+    x[:] = 1.0  # first touch faults every page
+    fault_mb_s = round(25.0 / max(time.time() - t, 1e-9), 1)
+    return {
+        "calib_ms": calib,
+        "calib_vs_clean_floor": round(calib / floor, 2) if floor else None,
+        "fault_path_mb_s": fault_mb_s,
+    }
+
+
 def _git_rev() -> str:
     import subprocess
 
@@ -271,6 +300,7 @@ def main() -> None:
         "join_rows_per_sec": best["join_rows_per_sec"],
     }
     result["notes"] = _history_notes(hist_path, rev, stage_best)
+    result["host_state"] = _host_state(min(cal), hist_path)
     result["scaling"] = _scaling_summary()
     result["n_runs"] = len(runs)
     result["n_clean"] = len(clean)
