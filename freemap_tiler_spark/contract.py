@@ -2306,12 +2306,51 @@ ORDER BY r.lang
 """
 
 
+CONTAM_N = 13
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination (dedup.contamination — the GPT-3 appendix-C
+    13-gram collision check): train = all documents, test = the
+    doc_id % 97 == 0 slice (which also lives in train, so those docs are
+    fully contaminated and organic near-dups partially).  Emits only
+    contaminated docs."""
+    d = load_table(spark, sf_dir, "documents")
+    test = d.where(F.col("doc_id") % 97 == 0)
+    return (dedup.contamination(d, test, n=CONTAM_N)
+            .where(F.col("n_hits") > 0)
+            .orderBy("doc_id"))
+
+
+def _sql_contamination() -> str:
+    n = CONTAM_N
+    return rf"""
+WITH tok AS (SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') t
+             FROM documents),
+wpos AS (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - {n} + 2)) AS pos1
+         FROM tok WHERE LEN(t) >= {n}),
+wh AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(ARRAY_TO_STRING(t[pos1:pos1 + {n} - 1], ' ')), 1, 15)) AS BIGINT) whash
+       FROM wpos),
+test AS (SELECT DISTINCT whash FROM wh WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, GREATEST(LEN(t) - {n} + 1, 0) n_windows FROM tok),
+hits AS (SELECT wh.doc_id, count(*) n_hits FROM wh SEMI JOIN test USING (whash)
+         GROUP BY 1)
+SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       h.n_hits * 1.0 / t.n_windows AS frac
+FROM tot t JOIN hits h USING (doc_id)
+WHERE h.n_hits > 0
+ORDER BY t.doc_id
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
     scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup ∪
     duplicate-span substring dedup ∪ ExactSubstr scrub ∪ domain-mixture
-    sampling over `documents` (src-tagged; covers the nine text-pipeline
-    operators in one registry row)."""
+    sampling ∪ test-set contamination over `documents` (src-tagged;
+    covers the ten text-pipeline operators in one registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2371,9 +2410,15 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_in").cast("bigint").alias("c1"),
         F.lit(0).cast("bigint").alias("c2"),
         F.col("rate").alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    ct = q_contamination(spark, sf_dir).select(
+        F.lit("contam").alias("src"), F.lit("").alias("skey"),
+        F.col("doc_id").cast("bigint").alias("ikey"),
+        F.col("n_windows").cast("bigint").alias("c1"),
+        F.col("n_hits").cast("bigint").alias("c2"),
+        F.col("frac").alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
     return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
             .unionByName(u).unionByName(s).unionByName(sc).unionByName(m)
-            .orderBy("src", "skey", "ikey"))
+            .unionByName(ct).orderBy("src", "skey", "ikey"))
 
 
 def _sql_text_metrics() -> str:
@@ -2424,6 +2469,11 @@ SELECT * FROM (
          CAST(n_in AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
          rate AS q1, 0.0 AS q2, 0.0 AS q3
   FROM ({_sql_domain_mix()}) mx
+  UNION ALL
+  SELECT 'contam' AS src, '' AS skey, CAST(doc_id AS BIGINT) AS ikey,
+         CAST(n_windows AS BIGINT) AS c1, CAST(n_hits AS BIGINT) AS c2,
+         frac AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_contamination()}) ctm
 ) ORDER BY src, skey, ikey
 """
 

@@ -514,3 +514,55 @@ def scrub_spans(
             (F.size(toks) - F.size(indexed)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Test-set contamination flags (the GPT-3 appendix-C / PaLM recipe:
+    n-gram collision against the evaluation set, canonically n=13): for
+    every training document, the fraction of its n-token windows that
+    occur anywhere in the test corpus.
+
+    Returns (id_col, n_windows, n_hits, frac): total windows, windows
+    colliding with the test set, and n_hits/n_windows (0.0 for docs
+    shorter than n tokens — they cannot carry an n-gram collision).
+
+    100 TB shape: the test side reduces to DISTINCT window hashes (tiny —
+    eval sets are MBs against a TB-scale train corpus), the train side is
+    one explode + one equi-semi-join on the hash (broadcast-able when the
+    test set is small; AQE decides) + one per-doc count.  No UDFs, no
+    driver actions, nothing quadratic.
+    """
+    tw = (
+        test.select(F.explode(window_hashes(F.col(text_col), n)).alias("whash"))
+        .distinct()
+    )
+    tot = train.select(
+        F.col(id_col),
+        F.size(window_hashes(F.col(text_col), n)).cast("bigint").alias("n_windows"),
+    )
+    hits = (
+        train.select(
+            F.col(id_col),
+            F.explode(window_hashes(F.col(text_col), n)).alias("whash"),
+        )
+        .join(tw, "whash", "semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        tot.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.when(F.col("n_windows") > 0,
+                   F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_windows"))
+            .otherwise(F.lit(0.0)).alias("frac"),
+        )
+    )

@@ -459,3 +459,28 @@ def test_scrub_spans_identical_docs_full_scrub(spark):
     out = {r.doc_id: r for r in dedup.scrub_spans(df, n=8).collect()}
     assert out[1].n_removed == 0 and out[1].n_tokens == 20
     assert out[2].clean_text == "" and out[2].n_tokens == 0 and out[2].n_removed == 20
+
+
+def test_contamination_planted_overlap(spark):
+    """13-gram contamination: a train doc embedding a test doc verbatim is
+    flagged with the exact window-overlap fraction; clean docs are 0."""
+    n = 13
+    test_text = " ".join(f"eval{j}" for j in range(20))  # 20 tokens -> 8 windows
+    train = spark.createDataFrame(
+        [
+            (0, test_text),                                        # exact clone
+            (1, " ".join(f"pre{j}" for j in range(10)) + " " + test_text),
+            (2, " ".join(f"clean{j}" for j in range(30))),
+            (3, "short doc"),                                      # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(100, test_text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.contamination(train, test, n=n).collect()}
+    assert out[0].n_windows == 8 and out[0].n_hits == 8 and out[0].frac == 1.0
+    # doc 1: 30 tokens -> 18 windows; windows fully inside the pasted test
+    # text start at positions 10..17 -> 8 hits
+    assert out[1].n_windows == 18 and out[1].n_hits == 8
+    assert out[1].frac == pytest.approx(8 / 18)
+    assert out[2].n_hits == 0 and out[2].frac == 0.0
+    assert out[3].n_windows == 0 and out[3].frac == 0.0
