@@ -2345,12 +2345,55 @@ ORDER BY t.doc_id
 """
 
 
+PACK_LEN = 2048
+
+
+def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py — GPT-style concat-and-
+    chunk): per-sequence fill summary for the documents corpus packed
+    into 2048-token training blocks.  Exercises the two-level cumsum
+    (no single-partition global window)."""
+    from freemap_tiler_spark.operators import packing
+
+    d = load_table(spark, sf_dir, "documents")
+    return packing.pack_summary(d, seq_len=PACK_LEN).orderBy("seq_id")
+
+
+def _sql_pack_summary() -> str:
+    L = PACK_LEN
+    return rf"""
+WITH tok AS (SELECT doc_id,
+                    CASE WHEN TRIM(text) = '' THEN 0
+                         ELSE LEN(string_split_regex(TRIM(text), '\s+')) END n
+             FROM documents),
+nz AS (SELECT doc_id, n FROM tok WHERE n > 0),
+off AS (SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) o
+        FROM nz),
+ex AS (SELECT doc_id, n, o, UNNEST(RANGE(o // {L}, (o + n - 1) // {L} + 1)) seq_id
+       FROM off),
+per AS (SELECT seq_id, doc_id,
+               GREATEST(seq_id * {L} - o, 0) s,
+               LEAST((seq_id + 1) * {L} - o, n) e
+        FROM ex)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(e - s) AS BIGINT) AS n_tokens,
+       CAST({L} - SUM(e - s) AS BIGINT) AS n_pad
+FROM per GROUP BY seq_id
+ORDER BY seq_id
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
     scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup ∪
     duplicate-span substring dedup ∪ ExactSubstr scrub ∪ domain-mixture
-    sampling ∪ test-set contamination over `documents` (src-tagged;
-    covers the ten text-pipeline operators in one registry row)."""
+    sampling ∪ test-set contamination ∪ sequence packing over
+    `documents` (src-tagged; covers the eleven text-pipeline operators
+    in one registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2416,9 +2459,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_windows").cast("bigint").alias("c1"),
         F.col("n_hits").cast("bigint").alias("c2"),
         F.col("frac").alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    pk = q_pack_summary(spark, sf_dir).select(
+        F.lit("pack").alias("src"), F.lit("").alias("skey"),
+        F.col("seq_id").cast("bigint").alias("ikey"),
+        F.col("n_docs").cast("bigint").alias("c1"),
+        F.col("n_tokens").cast("bigint").alias("c2"),
+        F.col("n_pad").cast("double").alias("q1"),
+        F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
     return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
             .unionByName(u).unionByName(s).unionByName(sc).unionByName(m)
-            .unionByName(ct).orderBy("src", "skey", "ikey"))
+            .unionByName(ct).unionByName(pk).orderBy("src", "skey", "ikey"))
 
 
 def _sql_text_metrics() -> str:
@@ -2474,6 +2524,11 @@ SELECT * FROM (
          CAST(n_windows AS BIGINT) AS c1, CAST(n_hits AS BIGINT) AS c2,
          frac AS q1, 0.0 AS q2, 0.0 AS q3
   FROM ({_sql_contamination()}) ctm
+  UNION ALL
+  SELECT 'pack' AS src, '' AS skey, CAST(seq_id AS BIGINT) AS ikey,
+         CAST(n_docs AS BIGINT) AS c1, CAST(n_tokens AS BIGINT) AS c2,
+         CAST(n_pad AS DOUBLE) AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_pack_summary()}) pk
 ) ORDER BY src, skey, ikey
 """
 
