@@ -156,6 +156,21 @@ def main() -> None:
           ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
            "ArrowEvalPython"])
 
+    # 13. Contamination (r5): semi-join on the hash, JVM-only
+    test_side = docs.where(F.col("doc_id") % 97 == 0)
+    p = plan_of(_dd.contamination(docs, test_side))
+    check("contamination: hash semi-join, JVM-only", p, ["Join"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+           "ArrowEvalPython"])
+
+    # 14. Sequence packing (r5): the two-level cumsum must NOT put the
+    # corpus through a single-partition global window — the only
+    # non-bucketed sort is over the tiny bucket-sums table; no Python
+    from freemap_tiler_spark.operators import packing as _pk
+    p = plan_of(_pk.pack_summary(docs, 2048))
+    check("pack_summary: bucketed windows, JVM-only", p, ["Window"],
+          ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"])
+
     report.append(f"\nFAILURES: {failures or 'none'}")
     out = "\n".join(report)
     with open("BENCH/explain_audit.md", "w") as f:
