@@ -484,3 +484,56 @@ def test_contamination_planted_overlap(spark):
     assert out[1].frac == pytest.approx(8 / 18)
     assert out[2].n_hits == 0 and out[2].frac == 0.0
     assert out[3].n_windows == 0 and out[3].frac == 0.0
+
+
+def _brute_spans(docs, n):
+    """Pure-python reference for duplicate_spans: count n-token windows
+    corpus-wide, merge per-doc duplicated positions into maximal spans."""
+    from collections import Counter
+
+    toks = {d: t.strip().lower().split() for d, t in docs}
+    wins = {
+        d: [tuple(t[i:i + n]) for i in range(len(t) - n + 1)] if len(t) >= n else []
+        for d, t in toks.items()
+    }
+    occ = Counter(w for ws in wins.values() for w in ws)
+    out = {}
+    for d, ws in wins.items():
+        pos = [i for i, w in enumerate(ws) if occ[w] >= 2]
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        out[d] = [
+            (a, b + n, sum(1 for p in pos if a <= p <= b),
+             max(occ[ws[p]] for p in pos if a <= p <= b))
+            for a, b in spans
+        ]
+    return out
+
+
+def test_duplicate_spans_randomized_vs_brute(spark):
+    """Seeded random corpora with a tiny vocabulary (forcing organic
+    n-gram collisions) agree exactly with a pure-python oracle."""
+    import random
+
+    n = 4
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(12)]  # tiny vocab -> real collisions
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))))
+            for d in range(25)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {}
+        for r in dedup.duplicate_spans(df, n=n).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.tok_start, r.tok_end, r.n_windows, r.max_occ)
+            )
+        exp = {d: v for d, v in _brute_spans(docs, n).items() if v}
+        got = {d: sorted(v) for d, v in got.items()}
+        exp = {d: sorted(v) for d, v in exp.items()}
+        assert got == exp, f"seed {seed} diverged"
