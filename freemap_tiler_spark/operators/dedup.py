@@ -566,3 +566,45 @@ def contamination(
             .otherwise(F.lit(0.0)).alias("frac"),
         )
     )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic Hamming-distance pair join over any integer hash column
+    (the simhash_near_dups pigeonhole core, factored for reuse by e.g.
+    perceptual image hashes): split the hash into (max_hamming+1) bit
+    blocks — any pair within max_hamming shares one exact block — self-
+    join per block, verify with bit_count(xor).  Returns
+    (id_a, id_b, hamming) with id_a < id_b, distinct.
+    """
+    n_blocks = max_hamming + 1
+    bb = bits // n_blocks
+    sh = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+
+    def _key(i):
+        sr = F.shiftright("_h", i * bb)
+        # a full-width block needs no mask ((1<<64)-1 overflows a long)
+        return sr if bb >= 64 else sr.bitwiseAND(F.lit((1 << bb) - 1))
+
+    blocked = sh.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"), _key(i).alias("key"))
+            for i in range(n_blocks)
+        ])).alias("b"),
+    ).select("_id", "_h", "b.blk", "b.key")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    ham = F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h")))
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.key") == F.col("r.key"))
+               & (F.col("l._id") < F.col("r._id")))
+        .where(ham <= max_hamming)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+    )

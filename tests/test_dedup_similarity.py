@@ -537,3 +537,29 @@ def test_duplicate_spans_randomized_vs_brute(spark):
         got = {d: sorted(v) for d, v in got.items()}
         exp = {d: sorted(v) for d, v in exp.items()}
         assert got == exp, f"seed {seed} diverged"
+
+
+def test_phash_identical_payloads_collide(spark):
+    """Perceptual hash: identical image payloads give hamming-0 pairs
+    through the pigeonhole-blocked join; hashes are deterministic."""
+    from freemap_tiler_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, 20).where("kind = 'image'")
+    clones = media.withColumn("media_id", F.col("media_id") + 1000)
+    both = media.unionByName(clones)
+    pairs = M.phash_near_dups(both, max_hamming=0, decode="fake").collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    orig = {r.media_id for r in media.collect()}
+    assert {(i, i + 1000) for i in orig} <= found
+    assert all(r.hamming == 0 for r in pairs)
+    # deterministic across runs
+    h1 = {r.media_id: r.phash for r in
+          M.phash(M.decode_and_resize(both, decode="fake")).collect()}
+    h2 = {r.media_id: r.phash for r in
+          M.phash(M.decode_and_resize(both, decode="fake")).collect()}
+    assert h1 == h2
+    for i in orig:
+        assert h1[i] == h1[i + 1000]
+    import pytest as _pt
+    with _pt.raises(M.DecoderStub):
+        M.phash_near_dups(both, decode="stub")
