@@ -40,6 +40,9 @@ def clean_corpus(
     span_n: int = 8,
     mix_alpha: float = 0.5,
     mix_target_rows: int | None = None,
+    test_df: DataFrame | None = None,
+    max_contamination: float = 0.05,
+    contam_n: int = 13,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full cleaning recipe; return (clean_df, counters_df).
 
@@ -47,8 +50,10 @@ def clean_corpus(
     scrubbed/rebuilt text and a ``quality`` column attached.
     counters_df: (stage, rows) — one row per pipeline stage, in order,
     counting the rows that SURVIVE that stage.  Stage order is fixed:
-    input, quality, dedup, scrub, length, mix (mix row absent when
-    ``domain_col`` is None).
+    input, quality, dedup, decontam (only when ``test_df`` is given:
+    drop docs whose ``contam_n``-gram collision fraction against the
+    evaluation corpus exceeds ``max_contamination``), scrub, length,
+    mix (absent when ``domain_col`` is None).
     """
     stages: list[tuple[str, DataFrame]] = [("input", df)]
 
@@ -70,6 +75,16 @@ def clean_corpus(
     )
     d = q.join(keep, id_col, "semi")
     stages.append(("dedup", d))
+
+    # 2b. decontamination: remove training docs that leak the eval set
+    if test_df is not None:
+        dirty = (
+            dedup.contamination(d, test_df, text_col, id_col, n=contam_n)
+            .where(F.col("frac") > max_contamination)
+            .select(id_col)
+        )
+        d = d.join(dirty, id_col, "anti")
+        stages.append(("decontam", d))
 
     # 3. ExactSubstr scrub: cut duplicated spans (canonical occurrence
     # survives), swap in the rebuilt text

@@ -67,3 +67,25 @@ def test_clean_corpus_deterministic(spark):
     sa = {(r.doc_id, r.text) for r in a.collect()}
     sb = {(r.doc_id, r.text) for r in b.collect()}
     assert sa == sb
+
+
+def test_clean_corpus_decontamination_stage(spark):
+    """With a test_df, docs leaking the eval set beyond the threshold are
+    dropped at the decontam stage; the stage row appears in order."""
+    eval_text = " ".join(f"evaltok{j}" for j in range(20))
+    rows = [
+        (0, " ".join(f"the quick u0x{j} and of to in" for j in range(4))),
+        (1, eval_text),                                   # verbatim leak
+        (2, " ".join(f"the nice u2x{j} and of to in" for j in range(4))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    test_df = spark.createDataFrame([(9, eval_text)], "doc_id long, text string")
+    clean, counters = clean_corpus(
+        df, min_quality=0.0, min_words=1, domain_col=None,
+        test_df=test_df, max_contamination=0.05, contam_n=8,
+    )
+    c = [(r.stage, r.rows) for r in counters.collect()]
+    assert [s for s, _ in c] == ["input", "quality", "dedup", "decontam",
+                                 "scrub", "length"]
+    assert dict(c)["dedup"] == 3 and dict(c)["decontam"] == 2
+    assert {r.doc_id for r in clean.collect()} == {0, 2}
