@@ -2387,13 +2387,47 @@ ORDER BY seq_id
 """
 
 
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling mixture (mixing.domain_mix_epochs — the full mT5 alpha-
+    sampling with epoch replication of cold domains) audited per lang."""
+    from freemap_tiler_spark.operators import mixing
+
+    d = load_table(spark, sf_dir, "documents")
+    return (mixing.mix_epochs_audit(d, domain_col="lang", alpha=MIX_ALPHA)
+            .orderBy("lang"))
+
+
+def _sql_mix_epochs() -> str:
+    a = MIX_ALPHA
+    return rf"""
+WITH counts AS (SELECT lang, count(*) n_d FROM documents GROUP BY 1),
+tot AS (SELECT SUM(POW(n_d, {a})) wsum, SUM(n_d) n_tot FROM counts),
+rates AS (SELECT lang, n_d, n_tot * POW(n_d, {a}) / wsum / n_d rate
+          FROM counts, tot),
+cop AS (SELECT d.doc_id, d.lang, r.rate,
+               CAST(FLOOR(r.rate) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT)
+                           / 1152921504606846976.0 < r.rate - FLOOR(r.rate)
+                      THEN 1 ELSE 0 END n_copies
+        FROM documents d JOIN rates r USING (lang)),
+emitted AS (SELECT lang, doc_id, UNNEST(RANGE(0, n_copies)) epoch FROM cop)
+SELECT r.lang, CAST(r.n_d AS BIGINT) AS n_in,
+       CAST(COALESCE(e.n_out, 0) AS BIGINT) AS n_out,
+       CAST(COALESCE(e.max_epoch, -1) AS BIGINT) AS max_epoch, r.rate
+FROM rates r
+LEFT JOIN (SELECT lang, count(*) n_out, MAX(epoch) max_epoch
+           FROM emitted GROUP BY 1) e USING (lang)
+ORDER BY r.lang
+"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
     scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup ∪
     duplicate-span substring dedup ∪ ExactSubstr scrub ∪ domain-mixture
-    sampling ∪ test-set contamination ∪ sequence packing over
-    `documents` (src-tagged; covers the eleven text-pipeline operators
-    in one registry row)."""
+    sampling (down-sample + epoch-upsample variants) ∪ test-set
+    contamination ∪ sequence packing over `documents` (src-tagged; covers
+    the twelve text-pipeline operators in one registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2466,9 +2500,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("c2"),
         F.col("n_pad").cast("double").alias("q1"),
         F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    mu = q_mix_epochs(spark, sf_dir).select(
+        F.lit("mixup").alias("src"), F.col("lang").alias("skey"),
+        F.col("n_out").cast("bigint").alias("ikey"),
+        F.col("n_in").cast("bigint").alias("c1"),
+        F.col("max_epoch").cast("bigint").alias("c2"),
+        F.col("rate").alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
     return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
             .unionByName(u).unionByName(s).unionByName(sc).unionByName(m)
-            .unionByName(ct).unionByName(pk).orderBy("src", "skey", "ikey"))
+            .unionByName(ct).unionByName(pk).unionByName(mu)
+            .orderBy("src", "skey", "ikey"))
 
 
 def _sql_text_metrics() -> str:
@@ -2529,6 +2570,11 @@ SELECT * FROM (
          CAST(n_docs AS BIGINT) AS c1, CAST(n_tokens AS BIGINT) AS c2,
          CAST(n_pad AS DOUBLE) AS q1, 0.0 AS q2, 0.0 AS q3
   FROM ({_sql_pack_summary()}) pk
+  UNION ALL
+  SELECT 'mixup' AS src, lang AS skey, CAST(n_out AS BIGINT) AS ikey,
+         CAST(n_in AS BIGINT) AS c1, CAST(max_epoch AS BIGINT) AS c2,
+         rate AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_mix_epochs()}) mu
 ) ORDER BY src, skey, ikey
 """
 

@@ -121,3 +121,85 @@ def mix_audit(
             "rate",
         )
     )
+
+
+def domain_mix_epochs(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Alpha-smoothed mixture WITH upsampling (the full mT5/XLM recipe:
+    low-resource domains repeat across epochs).  The unclamped rate_d may
+    exceed 1; row r of domain d appears
+
+        n_copies(r) = floor(rate_d) + [ sample_unit(r) < frac(rate_d) ]
+
+    times, tagged ``epoch`` 0..n_copies-1, so per-domain output size is
+    deterministic and within 1 row-draw of n_d * rate_d.  Rows with
+    n_copies = 0 vanish (that's the down-sampling case).
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_d").cast("double"), F.lit(alpha))).alias("wsum"),
+        F.sum("n_d").alias("n_tot"),
+    )
+    budget = (
+        F.lit(target_rows).cast("double") if target_rows
+        else F.col("n_tot").cast("double")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        domain_col, "n_d",
+        (budget * F.pow(F.col("n_d").cast("double"), F.lit(alpha))
+         / F.col("wsum") / F.col("n_d")).alias("rate"),
+    )
+    whole = F.floor(F.col("rate")).cast("long")
+    frac = F.col("rate") - F.floor(F.col("rate"))
+    n_copies = whole + F.when(sample_unit(id_col) < frac, 1).otherwise(0)
+    # sequence(0, -1) DESCENDS in Spark — guard the zero-copy case
+    epochs = F.when(
+        n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .select("*", F.explode(epochs).alias("epoch"))
+        .drop("n_d")
+    )
+
+
+def mix_epochs_audit(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Per-domain audit of the upsampling mixture: (domain, n_in, n_out,
+    max_epoch, rate) where n_out counts emitted rows INCLUDING repeats."""
+    m = domain_mix_epochs(df, domain_col, id_col, alpha, target_rows)
+    out = m.groupBy(domain_col).agg(
+        F.count("*").cast("bigint").alias("n_out"),
+        F.max("epoch").cast("bigint").alias("max_epoch"),
+    )
+    # recompute the (tiny) rate table so empty domains still carry a rate
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_d").cast("double"), F.lit(alpha))).alias("wsum"),
+        F.sum("n_d").alias("n_tot"),
+    )
+    budget = (
+        F.lit(target_rows).cast("double") if target_rows
+        else F.col("n_tot").cast("double")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        domain_col, F.col("n_d").cast("bigint").alias("n_in"),
+        (budget * F.pow(F.col("n_d").cast("double"), F.lit(alpha))
+         / F.col("wsum") / F.col("n_d")).alias("rate"),
+    )
+    return rates.join(out, domain_col, "left").select(
+        domain_col, "n_in",
+        F.coalesce(F.col("n_out"), F.lit(0)).cast("bigint").alias("n_out"),
+        F.coalesce(F.col("max_epoch"), F.lit(-1)).cast("bigint").alias("max_epoch"),
+        "rate",
+    )

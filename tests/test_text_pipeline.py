@@ -136,3 +136,38 @@ def test_domain_mix_target_rows_budget(spark):
     kept = mixing.domain_mix(df, alpha=0.5, target_rows=100).count()
     assert kept == sum(a.n_out for a in audit.values())
     assert 50 <= kept <= 150  # hash draw lands near the budget
+
+
+def test_domain_mix_epochs_upsamples_cold_domain(spark):
+    """Unclamped alpha-sampling: the cold domain's rate exceeds 1 so its
+    docs repeat across epochs; totals match an independent hash replay."""
+    import hashlib
+
+    from freemap_tiler_spark.operators import mixing
+
+    sizes = {"web": 900, "books": 100}
+    rows, i = [], 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, dom)); i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    wsum = sum(n ** 0.5 for n in sizes.values())
+    tot = sum(sizes.values())
+    audit = {r.source: r for r in mixing.mix_epochs_audit(df, alpha=0.5).collect()}
+    for dom, n in sizes.items():
+        rate = tot * (n ** 0.5) / wsum / n
+        assert audit[dom].rate == pytest.approx(rate, abs=1e-12)
+        whole, frac = int(rate), rate - int(rate)
+        exp = sum(
+            whole + (1 if int(hashlib.md5(f"{did}:mix".encode()).hexdigest()[:15], 16)
+                     / float(1 << 60) < frac else 0)
+            for did, d in rows if d == dom
+        )
+        assert audit[dom].n_out == exp
+    # books rate = 1000*10/40/100 = 2.5 -> every books doc appears >= 2x
+    assert audit["books"].rate == pytest.approx(2.5)
+    assert audit["books"].max_epoch >= 2 - 1
+    assert audit["web"].rate < 1.0  # hot domain still downsampled
+    m = mixing.domain_mix_epochs(df, alpha=0.5)
+    per_doc = m.where("source = 'books'").groupBy("doc_id").count().collect()
+    assert all(r["count"] in (2, 3) for r in per_doc)
