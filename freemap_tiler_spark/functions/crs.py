@@ -410,7 +410,10 @@ def parse_proj_pipeline(proj: str) -> str:
             _REGISTRY[name] = mk(lat1, lat2, lat0, lon0, x0, y0)
         return name
     if p == "stere":
-        lat0 = float(str(kv.get("lat_0", 90.0)))
+        # PROJ defaults a missing +lat_0 to 0 (OBLIQUE stereographic,
+        # which _stere_pair rejects) — defaulting to 90 here would
+        # silently flip a south-polar intent to the north aspect
+        lat0 = float(str(kv.get("lat_0", 0.0)))
         lat_ts = float(str(kv["lat_ts"])) if "lat_ts" in kv else None
         k0 = float(str(kv.get("k", kv.get("k_0", 1.0))))
         lon0 = float(str(kv.get("lon_0", 0.0)))

@@ -243,31 +243,16 @@ def simhash_near_dups(
 
     Candidate blocking: split the simhash into (max_hamming+1) bit blocks —
     by pigeonhole, any pair within max_hamming shares at least one exact
-    block; self-join per block then verify with bit_count(xor).
+    block; self-join per block then verify with bit_count(xor).  The
+    block-join core is the shared :func:`hamming_pairs` (also used by the
+    pHash image path); ``block_bits`` is retained for signature
+    compatibility but the block width is ``bits // (max_hamming + 1)``.
     """
-    n_blocks = max_hamming + 1
-    bb = bits // n_blocks
-    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("sh"))
-    blocked = sh.select(
-        "_id", "sh",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright("sh", i * bb).bitwiseAND(F.lit((1 << bb) - 1)).alias("key"),
-            )
-            for i in range(n_blocks)
-        ])).alias("b"),
-    ).select("_id", "sh", "b.blk", "b.key")
-    l, r = blocked.alias("l"), blocked.alias("r")
-    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
-    return (
-        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.key") == F.col("r.key"))
-               & (F.col("l._id") < F.col("r._id")))
-        .where(ham <= max_hamming)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-                ham.alias("hamming"))
-        .distinct()
+    sh = df.select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("_simhash")
     )
+    return hamming_pairs(sh, "_simhash", id_col=id_col, bits=bits,
+                         max_hamming=max_hamming)
 
 
 def connected_components(

@@ -97,62 +97,95 @@ def knn_join(
     max_ring = rings[-1]
 
     n = mercator.zoom_n(zoom)
-    # ONE explode of the max ring's (2R+1)^2 neighbor offsets per probe
-    # (sequence+explode keeps the plan O(1) in ring size), each cell tagged
-    # with its Chebyshev ring distance.  y-clamp / x-wrap can collide
-    # offsets onto one cell near the poles/antimeridian — keep the SMALLEST
-    # ring distance per (probe, cell) so counts stay exact and each
-    # candidate cell appears once.
-    nbr = (
-        pr
-        .select("*", F.explode(F.sequence(F.lit(-max_ring), F.lit(max_ring))).alias("_dx"))
-        .select("*", F.explode(F.sequence(F.lit(-max_ring), F.lit(max_ring))).alias("_dy"))
-        .select(
-            probe_id, "_plon", "_plat",
-            F.greatest(F.abs("_dx"), F.abs("_dy")).alias("_ring"),
-            cells.cell(
-                F.lit(zoom),
-                ((F.col("ptx") + F.col("_dx")) + n) % n,  # wrap antimeridian
-                F.greatest(F.lit(0).cast("long"),
-                           F.least(F.col("pty") + F.col("_dy"), n - 1)),
-            ).alias("qcell"),
+
+    def neighbor_cells(probe_df, R):
+        """(probe, occupied neighbor cell, Chebyshev ring) for the ±R
+        neighborhood — ONE explode (sequence keeps the plan O(1) in ring
+        size).  y-clamp / x-wrap can collide offsets onto one cell near
+        the poles/antimeridian — keep the SMALLEST ring distance per
+        (probe, cell) so counts stay exact and each cell appears once."""
+        return (
+            probe_df
+            .select("*", F.explode(F.sequence(F.lit(-R), F.lit(R))).alias("_dx"))
+            .select("*", F.explode(F.sequence(F.lit(-R), F.lit(R))).alias("_dy"))
+            .select(
+                probe_id, "_plon", "_plat",
+                F.greatest(F.abs("_dx"), F.abs("_dy")).alias("_ring"),
+                cells.cell(
+                    F.lit(zoom),
+                    ((F.col("ptx") + F.col("_dx")) + n) % n,  # wrap antimeridian
+                    F.greatest(F.lit(0).cast("long"),
+                               F.least(F.col("pty") + F.col("_dy"), n - 1)),
+                ).alias("qcell"),
+            )
+            .groupBy(probe_id, "qcell")
+            .agg(
+                F.min("_ring").alias("_ring"),
+                F.first("_plon").alias("_plon"),
+                F.first("_plat").alias("_plat"),
+            )
         )
-        .groupBy(probe_id, "qcell")
-        .agg(
-            F.min("_ring").alias("_ring"),
-            F.first("_plon").alias("_plon"),
-            F.first("_plat").alias("_plat"),
-        )
-    )
-    # occupied neighbor cells only; empty cells contribute no counts and no
-    # candidates, and a probe with ZERO occupied cells in its widest ring
-    # yields no rows (the documented zero-candidate contract)
-    counted = nbr.join(cnts, "qcell")
-    # cumulative point count at every ring level in ONE aggregation, then
-    # the smallest sufficient ring as a CASE chain; probes underfilled at
-    # the widest ring keep it anyway and return their PARTIAL top-(<k)
-    # rows rather than disappearing (VERDICT r2 "What's wrong" #4)
-    if len(rings) == 1:
-        cand_cells = counted
-    else:
-        lvl_cnt = counted.groupBy(probe_id).agg(
+
+    def smallest_sufficient(counted, ring_opts, fallback):
+        """Cumulative point count at every candidate ring in ONE
+        aggregation, then the smallest sufficient ring as a CASE chain;
+        probes underfilled at the widest option keep ``fallback`` and
+        return their PARTIAL top-(<k) rows rather than disappearing
+        (VERDICT r2 "What's wrong" #4).  ``fallback=None`` leaves
+        insufficient probes with a NULL choice (tier split below)."""
+        lvl = counted.groupBy(probe_id).agg(
             *[
                 F.sum(F.when(F.col("_ring") <= r, F.col("_ccnt")).otherwise(F.lit(0)))
                 .alias(f"_c{r}")
-                for r in rings[:-1]
+                for r in ring_opts
             ]
         )
-        chosen = lvl_cnt.select(
-            probe_id,
-            F.coalesce(
-                *[F.when(F.col(f"_c{r}") >= k, F.lit(r)) for r in rings[:-1]],
-                F.lit(max_ring),
-            ).alias("_chosen"),
+        opts = [F.when(F.col(f"_c{r}") >= k, F.lit(r)) for r in ring_opts]
+        if fallback is not None:
+            opts.append(F.lit(fallback))
+        return lvl.select(probe_id, F.coalesce(*opts).alias("_chosen"))
+
+    # two-tier plan (100-TB shape): EVERY probe pays only the small-ring
+    # explode ((2*SMALL+1)^2 cells); the full max_ring neighborhood —
+    # (2^expand_rounds)-wide, quadratically larger — is exploded ONLY for
+    # the probes the small tier could not satisfy (sparse regions, a tail
+    # by construction).  Candidate-set semantics are identical to a
+    # single max_ring pass: each probe uses its smallest sufficient ring.
+    SMALL_CAP = 4
+    small_rings = [r for r in rings if r <= SMALL_CAP] or rings[:1]
+    r_small = small_rings[-1]
+    # occupied neighbor cells only; empty cells contribute no counts and
+    # no candidates, and a probe with ZERO occupied cells in its widest
+    # ring yields no rows (the documented zero-candidate contract)
+    counted_s = neighbor_cells(pr, r_small).join(cnts, "qcell")
+    if max_ring <= r_small:
+        if len(rings) == 1:
+            cand_cells = counted_s
+        else:
+            chosen = smallest_sufficient(counted_s, rings[:-1], max_ring)
+            cand_cells = (
+                counted_s.join(chosen, probe_id)
+                .where(F.col("_ring") <= F.col("_chosen"))
+            )
+    else:
+        sat = (
+            smallest_sufficient(counted_s, small_rings, None)
+            .where(F.col("_chosen").isNotNull())
         )
-        cand_cells = (
-            counted.join(chosen, probe_id)
+        cand_small = (
+            counted_s.join(sat, probe_id)
             .where(F.col("_ring") <= F.col("_chosen"))
         )
+        # unsatisfied probes (including zero-occupied-small-ring ones,
+        # absent from counted_s entirely) escalate to the wide tier
+        wide_pr = pr.join(sat.select(probe_id), probe_id, "anti")
+        counted_w = neighbor_cells(wide_pr, max_ring).join(cnts, "qcell")
+        chosen_w = smallest_sufficient(counted_w, rings[:-1], max_ring)
+        cand_wide = (
+            counted_w.join(chosen_w, probe_id)
+            .where(F.col("_ring") <= F.col("_chosen"))
+        )
+        cand_cells = cand_small.unionByName(cand_wide)
     joined = cand_cells.join(pt, "qcell").withColumn(
         "dist", F.sqrt(sq_dist("_plon", "_plat", "_qlon", "_qlat"))
     )

@@ -47,6 +47,17 @@ def pack_map(
     whitespace token counts of ``text_col`` are used.  Zero-token docs
     emit nothing.
     """
+    from pyspark.sql.types import NumericType
+
+    id_field = df.schema[id_col]
+    if not isinstance(id_field.dataType, NumericType):
+        # id/bucket_size on a string id casts to NULL buckets and the
+        # bucket join silently drops every row — fail loudly instead
+        raise TypeError(
+            f"pack_map requires a numeric id column for the deterministic "
+            f"stream order; {id_col!r} is {id_field.dataType.simpleString()} "
+            f"(map string/hash ids to a dense numeric id first)"
+        )
     n_tok = (
         F.col(n_tokens_col) if n_tokens_col
         else ws_token_count(F.col(text_col))

@@ -213,15 +213,22 @@ def compose_pyramid(
     while z > to_zoom:
         k = min(max_k, z - to_zoom)
         if min_groups > 0:
-            n_here = max(approx_tiles >> (2 * (from_zoom - z)), 1)
+            dz = from_zoom - z
+            n_here = max(approx_tiles >> (2 * dz), 1)
             # sparse-tail deepening: a group's real payload is bounded by
             # the level's own tile count (x2 for intermediates), not the
             # full-subtree 4^k the static clamp assumes — so a thin tail
             # (tens of tiles) composes straight to to_zoom in ONE round
-            # instead of burning a ~1 s near-empty Spark job per k levels
+            # instead of burning a ~1 s near-empty Spark job per k levels.
+            # The BUDGET estimate assumes only 2x count decay per level
+            # (linear features — coastlines — shrink ~2x, not the area
+            # cover's 4x; assuming 4x here can deepen k past the OOM
+            # budget by up to 2^dz).  The 4x n_here stays for the
+            # parallelism shrink below, where underestimating is benign.
+            n_budget = max(approx_tiles >> dz, 1)
             tile_bytes = tile_size * tile_size * bands
             while (k < z - to_zoom and
-                   min(4 ** (k + 1), 2 * n_here) * tile_bytes
+                   min(4 ** (k + 1), 2 * n_budget) * tile_bytes
                    <= GROUP_PIXEL_BUDGET):
                 k += 1
             # shrink k only while shrinking can actually restore

@@ -471,9 +471,12 @@ def embedding_near_dups(
         (F.col("_n") > max_bucket_size) & (F.col("_id") != F.col("_rep"))
     ).select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
     # chain: consecutive members in full-signature order — the per-id
-    # (tbl, bkt) codes over all tables, folded to one sortable string
+    # (tbl, bkt) codes over all tables, folded to one sortable string.
+    # Built ONLY for big-bucket members (semi-join prune): the common
+    # all-buckets-small case must not pay a full-corpus collect_list +
+    # format_string aggregation for an empty chain.
     big = tagged.where(F.col("_n") > max_bucket_size).select("_id", "tbl", "bkt")
-    sig = r.groupBy("_id").agg(
+    sig = r.join(big.select("_id").distinct(), "_id", "semi").groupBy("_id").agg(
         F.array_join(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("tbl", "bkt"))),

@@ -43,8 +43,16 @@ def clean_corpus(
     test_df: DataFrame | None = None,
     max_contamination: float = 0.05,
     contam_n: int = 13,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full cleaning recipe; return (clean_df, counters_df).
+
+    ``persist=True`` caches the scrub-stage output (MEMORY_AND_DISK) so
+    materializing the counters does not re-run the expensive span-scrub
+    plan once per downstream stage; leave False when the corpus is too
+    large to cache and you only materialize ``clean_df`` (one pass).
+    The caller owns unpersisting (``clean_df.sparkSession.catalog.
+    clearCache()`` or track the returned plan's persisted parent).
 
     clean_df columns: the input's, with ``text_col`` replaced by the
     scrubbed/rebuilt text and a ``quality`` column attached.
@@ -96,6 +104,13 @@ def clean_corpus(
         .join(scrubbed, id_col)
         .withColumnRenamed("clean_text", text_col)
     )
+    if persist:
+        # the scrub output feeds the length/mix stages AND three counter
+        # rows; without a persist each consumer re-runs the window-hash
+        # explode + equi-join (the pipeline's most expensive plan)
+        from pyspark import StorageLevel
+
+        s = s.persist(StorageLevel.MEMORY_AND_DISK)
     stages.append(("scrub", s))
 
     # 4. post-scrub length floor: a doc hollowed out by span removal

@@ -60,7 +60,7 @@ _T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
               11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
 class GeoTiffError(ValueError):
@@ -105,6 +105,8 @@ def _read_ifd(buf: bytes) -> dict[int, tuple]:
             )
         elif typ == 2:  # ascii
             tags[tag] = (raw.rstrip(b"\0").decode("ascii", "replace"),)
+        elif typ == 7:  # UNDEFINED: opaque bytes (ICC profiles, EXIF blobs,
+            tags[tag] = (bytes(raw),)  # Photoshop tags) — keep, don't crash
         else:
             tags[tag] = struct.unpack(e + _TYPE_FMT[typ] * cnt, raw)
     return tags

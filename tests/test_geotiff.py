@@ -116,3 +116,25 @@ def test_reader_rejects_unsupported():
     import struct
     with pytest.raises(geotiff.GeoTiffError, match="BigTIFF"):
         geotiff.geotiff_meta(b"II" + struct.pack("<H", 43) + buf[4:])
+
+
+def test_read_ifd_tolerates_sbyte_and_undefined_tags():
+    """Type 6 (SBYTE) decodes; type 7 (UNDEFINED — ICC/EXIF/Photoshop
+    blobs that GDAL output routinely carries) is kept as opaque bytes
+    instead of crashing the whole ingestion with a KeyError."""
+    import struct
+
+    from freemap_tiler_spark.sources.geotiff import _read_ifd
+
+    entries = [
+        struct.pack("<HHI", 50000, 7, 3) + b"abc\0",   # UNDEFINED, inline
+        struct.pack("<HHI", 50001, 6, 2) + struct.pack("<bb", -3, 5) + b"\0\0",
+        struct.pack("<HHI", 256, 3, 1) + struct.pack("<HH", 64, 0),  # width
+    ]
+    buf = (b"II*\0" + struct.pack("<I", 8)
+           + struct.pack("<H", len(entries)) + b"".join(entries)
+           + struct.pack("<I", 0))
+    tags = _read_ifd(buf)
+    assert tags[50000] == (b"abc",)
+    assert tags[50001] == (-3, 5)
+    assert tags[256] == (64,)

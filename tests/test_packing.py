@@ -93,3 +93,14 @@ def test_pack_sparse_noncontiguous_ids(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     s = packing.pack_summary(df, 4).orderBy("seq_id").collect()
     assert [(r.seq_id, r.n_tokens) for r in s] == [(0, 4), (1, 4), (2, 1)]
+
+
+def test_pack_rejects_non_numeric_ids(spark):
+    """String ids would silently NULL every bucket; the operator must
+    fail loudly instead of returning an empty pack."""
+    df = spark.createDataFrame(
+        [("urlhash-a", "x y z"), ("urlhash-b", "p q r")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(TypeError, match="numeric id"):
+        packing.pack_map(df, 8)
