@@ -2481,11 +2481,17 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("c1"),
         F.col("n_removed").cast("bigint").alias("c2"),
         F.lit(0.0).alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    # c2 = -1 (not 0): with max_epoch = 0 the mixup leg's row for the same
+    # lang ties this leg on EVERY integer sort key, leaving row order to
+    # the float `rate` — which the two legs compute through different
+    # aggregation plans, so a 1-ulp divergence flips the sorted order in
+    # Spark but not DuckDB (observed flake).  A distinct integer key keeps
+    # the driver's sorted compare deterministic.
     m = q_domain_mix(spark, sf_dir).select(
         F.lit("mix").alias("src"), F.col("lang").alias("skey"),
         F.col("n_out").cast("bigint").alias("ikey"),
         F.col("n_in").cast("bigint").alias("c1"),
-        F.lit(0).cast("bigint").alias("c2"),
+        F.lit(-1).cast("bigint").alias("c2"),
         F.col("rate").alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
     ct = q_contamination(spark, sf_dir).select(
         F.lit("contam").alias("src"), F.lit("").alias("skey"),
@@ -2557,7 +2563,7 @@ SELECT * FROM (
   FROM ({_sql_scrub_spans()}) sc
   UNION ALL
   SELECT 'mix' AS src, lang AS skey, CAST(n_out AS BIGINT) AS ikey,
-         CAST(n_in AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
+         CAST(n_in AS BIGINT) AS c1, CAST(-1 AS BIGINT) AS c2,
          rate AS q1, 0.0 AS q2, 0.0 AS q3
   FROM ({_sql_domain_mix()}) mx
   UNION ALL

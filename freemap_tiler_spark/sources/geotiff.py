@@ -24,8 +24,9 @@ origin math).
 Supported (TIFF 6.0 + OGC GeoTIFF 1.1, both public specs):
   - classic TIFF, little- or big-endian (BigTIFF: explicit error);
   - tiled and stripped layouts, PlanarConfiguration=1 (chunky);
-  - Compression 1 (none) and 8/32946 (Deflate/zlib), Predictor 1/2
-    (horizontal differencing);
+  - Compression 1 (none), 5 (LZW, TIFF 6.0 §13 with the spec's
+    early-change code widths), 8/32946 (Deflate/zlib), and 32773
+    (PackBits, §9), Predictor 1/2 (horizontal differencing);
   - 8-bit unsigned samples, any SamplesPerPixel (``ensure_alpha`` adds
     an opaque alpha band when the source has none, matching the
     reference's RGB-orthophoto + alpha model);
@@ -148,8 +149,10 @@ def geotiff_meta(buf: bytes) -> dict:
     if t.get(_T_PLANAR, (1,))[0] != 1:
         raise GeoTiffError("only PlanarConfiguration=1 (chunky) supported")
     comp = t.get(_T_COMPRESSION, (1,))[0]
-    if comp not in (1, 8, 32946):
-        raise GeoTiffError(f"unsupported Compression={comp} (none/Deflate only)")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise GeoTiffError(
+            f"unsupported Compression={comp} (none/LZW/Deflate/PackBits only)"
+        )
     pred = t.get(_T_PREDICTOR, (1,))[0]
     if pred not in (1, 2):
         raise GeoTiffError(f"unsupported Predictor={pred}")
@@ -192,12 +195,159 @@ def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
     return np.cumsum(arr, axis=1, dtype=np.uint64).astype(np.uint8)
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first codes, 9→12-bit widths with the spec's
+    EARLY change (decoder widens after adding table entry 510/1022/2046).
+    Pure Python — runs executor-side inside the mapInPandas splitter, one
+    stream per tile/strip, so a mosaic still decodes in parallel."""
+    out = bytearray()
+    table: list[bytes] = []
+    bitbuf = bitcnt = pos = 0
+    width, nxt = 9, 258
+    prev: bytes | None = None
+    n = len(data)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                raise GeoTiffError("LZW stream truncated before EOI")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, nxt, prev = 9, 258, None
+            continue
+        if code == _LZW_EOI:
+            return bytes(out)
+        if not table:
+            raise GeoTiffError("LZW stream must start with a ClearCode")
+        if prev is None:
+            if code > 255:
+                raise GeoTiffError("corrupt LZW: first code not a literal")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+            table.append(prev + entry[:1])
+            nxt += 1
+        elif code == nxt:
+            entry = prev + prev[:1]
+            table.append(entry)
+            nxt += 1
+        else:
+            raise GeoTiffError("corrupt LZW: code beyond table")
+        out += entry
+        prev = entry
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder (writer/fixtures): the encoder widens one
+    entry LATER than the decoder (after adding 511/1023/2047) and emits a
+    ClearCode when the table reaches 4094 so the decoder never overflows."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << w) | code
+        bitcnt += w
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    width, nxt = 9, 258
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width):
+            width += 1
+        if nxt == 4094:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width, nxt = 9, 258
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §9 PackBits (rows are compressed separately but the
+    concatenated stream decodes linearly, so one pass suffices)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            if i + h + 1 > n:
+                raise GeoTiffError("PackBits literal run truncated")
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                raise GeoTiffError("PackBits replicate run truncated")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # 128 = no-op per spec
+    if len(out) < expected:
+        raise GeoTiffError(f"PackBits short: {len(out)} < {expected}")
+    return bytes(out[:expected])
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """One row -> PackBits (TIFF writers must not pack across rows)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+        else:
+            # literal run: until the next >=3 repeat or 128 bytes
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += row[i:j]
+            i = j
+    return bytes(out)
+
+
 def _decode_block(buf: bytes, off: int, cnt: int, meta: dict,
                   h: int, w: int) -> np.ndarray:
     """One tile/strip payload -> (h, w, bands) u8 (h/w = PADDED size)."""
     raw = buf[off:off + cnt]
     if meta["compression"] in (8, 32946):
         raw = zlib.decompress(raw)
+    elif meta["compression"] == 5:
+        raw = _lzw_decode(raw)
+    elif meta["compression"] == 32773:
+        raw = _packbits_decode(raw, h * w * meta["bands"])
     nb = meta["bands"]
     need = h * w * nb
     if len(raw) < need:
@@ -284,7 +434,8 @@ def geotiff_blocks(
 
 
 # ---------------------------------------------------------------------------
-# minimal writer (fixtures / sink): tiled or stripped, none/deflate, pred 1/2
+# minimal writer (fixtures / sink): tiled or stripped,
+# none/lzw/deflate/packbits, pred 1/2
 # ---------------------------------------------------------------------------
 
 def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
@@ -310,13 +461,23 @@ def write_geotiff(
     gt = geo_transform
     if gt[2] != 0.0 or gt[4] != 0.0:
         raise GeoTiffError("writer supports axis-aligned transforms only")
-    comp_id = {"none": 1, "deflate": 8}[compression]
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
 
     def _pack_block(a: np.ndarray) -> bytes:
         if predictor == 2:
             a = _apply_predictor2(a)
         raw = a.tobytes()
-        return zlib.compress(raw, 6) if comp_id == 8 else raw
+        if comp_id == 8:
+            return zlib.compress(raw, 6)
+        if comp_id == 5:
+            return _lzw_encode(raw)
+        if comp_id == 32773:
+            rb = a.shape[1] * a.shape[2]  # bytes per row (§9: per-row packing)
+            return b"".join(
+                _packbits_encode_row(raw[r * rb:(r + 1) * rb])
+                for r in range(a.shape[0])
+            )
+        return raw
 
     blocks: list[bytes] = []
     if tile is not None:
