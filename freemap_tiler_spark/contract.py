@@ -1066,8 +1066,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = similarity.ivfpq_topk(
         pr, e, dim=64, k=5, m=8, ks=16, n_centroids=16, nprobe=8, rerank=96
     ).select("probe_id", "vec_id")
+    # OPQ leg (Ge et al. CVPR'13, r5-cont): learned orthonormal rotation
+    # of the residuals before the subspace split.  ~Neutral on these
+    # isotropic random embeddings (the anisotropic gain — 34% lower
+    # quantization MSE — is pinned by its own pytest); same floor.
+    opq = similarity.ivfpq_topk(
+        pr, e, dim=64, k=5, m=8, ks=16, n_centroids=16, nprobe=8, rerank=96,
+        opq=True,
+    ).select("probe_id", "vec_id")
     return (
         floor_rows(ivf, "ivf").unionByName(floor_rows(pq, "pq"))
+        .unionByName(floor_rows(opq, "opq"))
         .orderBy("src", "probe_id")
     )
 
@@ -1218,7 +1227,7 @@ WHERE vec_id % 100 = 0 ORDER BY probe_id
 
 SQL_IVF_COMPOUND = """
 SELECT src, vec_id AS probe_id, TRUE AS recall_ok
-FROM embeddings, (SELECT UNNEST(['ivf', 'pq']) AS src)
+FROM embeddings, (SELECT UNNEST(['ivf', 'opq', 'pq']) AS src)
 WHERE vec_id % 100 = 0 ORDER BY src, probe_id
 """
 

@@ -538,10 +538,16 @@ def pq_train_codebooks(
     (measured on the uniform-random test embeddings: residual norm 0.95
     vs 1.16, and the ADC shortlist stops losing any coarse-covered
     neighbor)."""
+    v = _pq_sample_residuals(corpus, corpus_id, vec_col, sample, centroids)
+    assert dim % m == 0, "dim must divide into m subspaces"
+    return _pq_fit(v, m, ks, iters)
+
+
+def _pq_sample_residuals(corpus, corpus_id, vec_col, sample, centroids):
+    """The deterministic PQ training sample: lowest-id vectors,
+    L2-normalized, residualized vs the RAW coarse mean when given."""
     import numpy as np
 
-    assert dim % m == 0, "dim must divide into m subspaces"
-    d_sub = dim // m
     rows = (
         corpus.orderBy(corpus_id).limit(sample).select(vec_col).collect()
     )
@@ -551,6 +557,15 @@ def pq_train_codebooks(
         c = np.asarray(centroids, dtype=np.float64)
         c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
         v = v - c[(v @ c_hat.T).argmax(axis=1)]
+    return v
+
+
+def _pq_fit(v, m: int, ks: int, iters: int):
+    """Per-subspace Lloyd k-means on (n, dim) rows -> (m, ks, dim/m)
+    codebooks; deterministic (seeded from the first ks sample rows)."""
+    import numpy as np
+
+    d_sub = v.shape[1] // m
     books = np.empty((m, ks, d_sub), dtype=np.float64)
     for s in range(m):
         x = v[:, s * d_sub:(s + 1) * d_sub]
@@ -566,12 +581,69 @@ def pq_train_codebooks(
     return books
 
 
+def _pq_reconstruct(v, books):
+    """Quantize-and-decode rows through the codebooks (training helper)."""
+    import numpy as np
+
+    m, ks, d_sub = books.shape
+    y = np.empty_like(v)
+    for s in range(m):
+        x = v[:, s * d_sub:(s + 1) * d_sub]
+        d2 = -2.0 * (x @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+        y[:, s * d_sub:(s + 1) * d_sub] = books[s][d2.argmin(axis=1)]
+    return y
+
+
+def opq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 512,
+    iters: int = 8,
+    opq_iters: int = 10,
+    centroids=None,
+):
+    """Optimized Product Quantization (Ge et al., CVPR'13, non-parametric
+    variant): learn an orthonormal rotation R that minimizes PQ
+    reconstruction error by alternating (a) fit codebooks on the rotated
+    sample X R, (b) solve the orthogonal Procrustes problem
+    min_R ||X R - Y||_F = SVD(Xᵀ Y) -> R = U Vᵀ against the quantized
+    reconstructions Y.  Returns (R, codebooks); encode/score rotate
+    residuals by R before the subspace split (distances are preserved —
+    R is orthonormal — so ADC ranking semantics are unchanged).
+
+    Plain PQ assumes quantization error splits evenly across the m
+    subspaces; on ANISOTROPIC embeddings (real text encoders put most
+    energy in a few directions) a fixed axis split wastes codebook
+    entries.  R re-balances variance across subspaces; on isotropic
+    (uniform-random) data it converges to ~no gain, which the pytest
+    pins both ways.  Deterministic: identity init, fixed sample, Lloyd
+    seeded from first ks rows, and SVD of a fixed matrix."""
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    v = _pq_sample_residuals(corpus, corpus_id, vec_col, sample, centroids)
+    R = np.eye(dim)
+    books = _pq_fit(v, m, ks, iters)
+    for _ in range(opq_iters):
+        x = v @ R
+        books = _pq_fit(x, m, ks, iters)
+        y = _pq_reconstruct(x, books)
+        u, _s, vt = np.linalg.svd(v.T @ y)
+        R = u @ vt
+    return R, _pq_fit(v @ R, m, ks, iters)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    rotation=None,
 ) -> DataFrame:
     """(id, codes array<int>) — one Arrow kernel; per batch, one
     (rows, d_sub) x (d_sub, ks) distance computation per subspace.  The
@@ -590,6 +662,7 @@ def pq_encode(
     m, ks, d_sub = books.shape
     id_type = corpus.schema[corpus_id].dataType.simpleString()
     cents = cents_hat = None
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
         cents_hat = cents / np.maximum(
@@ -608,6 +681,8 @@ def pq_encode(
             if cents is not None:
                 cid = (v @ cents_hat.T).argmax(axis=1).astype(np.int32)
                 v = v - cents[cid]
+            if rot is not None:
+                v = v @ rot  # OPQ: rotate the residual before the split
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 x = v[:, s * d_sub:(s + 1) * d_sub]
@@ -639,6 +714,7 @@ def ivfpq_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     broadcast: bool = True,
+    opq: bool = False,
 ) -> DataFrame:
     """IVFADC approximate top-k (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011 §IV-A): IVF coarse cells bound
@@ -659,10 +735,19 @@ def ivfpq_topk(
     import numpy as np
 
     cents = ivf_build_centroids(corpus, dim, n_centroids, corpus_id, vec_col)
-    books = pq_train_codebooks(
-        corpus, dim, m, ks, corpus_id, vec_col, centroids=cents
-    )
-    co = pq_encode(corpus, books, corpus_id, vec_col, centroids=cents)
+    if opq:
+        # OPQ (Ge et al. CVPR'13): learned orthonormal rotation of the
+        # residuals before the subspace split — see opq_train.
+        rot, books = opq_train(
+            corpus, dim, m, ks, corpus_id, vec_col, centroids=cents
+        )
+    else:
+        rot = None
+        books = pq_train_codebooks(
+            corpus, dim, m, ks, corpus_id, vec_col, centroids=cents
+        )
+    co = pq_encode(corpus, books, corpus_id, vec_col, centroids=cents,
+                   rotation=rot)
     pr = ivf_assign(
         probes.select(F.col(probe_id), F.col(vec_col).alias("_pv")),
         cents, probe_id, "_pv", nprobe=nprobe,
@@ -672,6 +757,7 @@ def ivfpq_topk(
     m_, ks_, d_sub = books_arr.shape
     # RAW centroids for the residual (matching pq_encode's subtraction)
     cents_arr = np.asarray(cents, dtype=np.float64)
+    rot_arr = None if rot is None else np.asarray(rot, dtype=np.float64)
 
     def _adc(batches):
         import pandas as pd
@@ -687,6 +773,10 @@ def ivfpq_topk(
                 q = np.asarray(g["_pv"].iloc[0], np.float64)
                 q /= max(np.linalg.norm(q), 1e-12)
                 r = q - cents_arr[int(cell)]
+                if rot_arr is not None:
+                    # rotate the query residual into the same OPQ frame as
+                    # the codes (orthonormal R preserves the distances)
+                    r = r @ rot_arr
                 tab = np.empty((m_, ks_))
                 for s in range(m_):
                     rs = r[s * d_sub:(s + 1) * d_sub]

@@ -338,6 +338,64 @@ def test_ivfpq_topk_recall_and_determinism(spark, sf_dir):
     assert hits / total >= 0.90, f"IVFADC recall@5 {hits/total:.2f} < 0.90"
 
 
+def test_opq_rotation_reduces_quantization_error(spark):
+    """OPQ (Ge et al. CVPR'13): on ANISOTROPIC embeddings whose energy is
+    concentrated in a few non-axis-aligned directions — the realistic
+    text-encoder shape, where a fixed axis split wastes codebook entries —
+    the learned orthonormal rotation must cut PQ reconstruction error by
+    >= 15% vs plain PQ at the same m/ks budget, stay orthonormal, and be
+    bit-deterministic across calls."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType)
+
+    n, dim, m, ks = 512, 32, 4, 16
+    rng = np.random.RandomState(1234)
+    spec = 1.0 / np.sqrt(1 + np.arange(dim))        # decaying spectrum
+    Q, _ = np.linalg.qr(rng.randn(dim, dim))        # random basis: not axis aligned
+    v = (rng.randn(n, dim) * spec) @ Q.T
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(i, v[i].astype("float32").tolist()) for i in range(n)]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    books = similarity.pq_train_codebooks(df, dim=dim, m=m, ks=ks)
+    R, obooks = similarity.opq_train(df, dim=dim, m=m, ks=ks)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-8)
+
+    s = similarity._pq_sample_residuals(df, "vec_id", "embedding", 512, None)
+
+    def mse(x, b):
+        return float(((x - similarity._pq_reconstruct(x, b)) ** 2)
+                     .sum(axis=1).mean())
+
+    e_pq, e_opq = mse(s, books), mse(s @ R, obooks)
+    assert e_opq < 0.85 * e_pq, f"OPQ {e_opq:.4f} vs PQ {e_pq:.4f}"
+
+    R2, obooks2 = similarity.opq_train(df, dim=dim, m=m, ks=ks)
+    assert np.array_equal(R, R2) and np.array_equal(obooks, obooks2)
+
+    # end-to-end: the opq=True IVFADC path must keep the recall floor on
+    # this anisotropic corpus (probes = every 50th vector)
+    pr = df.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+    got = {}
+    for r in similarity.ivfpq_topk(pr, df, dim=dim, k=5, m=m, ks=ks,
+                                   n_centroids=8, nprobe=6, rerank=96,
+                                   opq=True).collect():
+        got.setdefault(r.probe_id, set()).add(r.vec_id)
+    exact = {}
+    for r in similarity.brute_force_topk(pr, df, k=5).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+    assert set(got) == set(exact)
+    hits = sum(len(got[p] & exact[p]) for p in exact)
+    total = sum(len(exact[p]) for p in exact)
+    assert hits / total >= 0.90, f"OPQ IVFADC recall@5 {hits/total:.2f}"
+
+
 def test_embedding_hot_bucket_star_cap(spark):
     """VERDICT r4 #2: a planted flood of 1000 identical embeddings lands in
     ONE SRP bucket per table; the hot-bucket cap must emit O(k) pairs (star
