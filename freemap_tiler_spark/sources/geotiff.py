@@ -22,7 +22,8 @@ tile size; a grid-indexed row with a non-uniform width would break the
 origin math).
 
 Supported (TIFF 6.0 + OGC GeoTIFF 1.1, both public specs):
-  - classic TIFF, little- or big-endian (BigTIFF: explicit error);
+  - classic TIFF and BigTIFF (magic 43, 8-byte offsets, LONG8 types —
+    the >4 GB orthophoto container), little- or big-endian;
   - tiled and stripped layouts, PlanarConfiguration=1 (chunky);
   - Compression 1 (none), 5 (LZW, TIFF 6.0 §13 with the spec's
     early-change code widths), 8/32946 (Deflate/zlib), and 32773
@@ -58,10 +59,12 @@ _T_PLANAR, _T_PREDICTOR = 284, 317
 _T_TILE_W, _T_TILE_H, _T_TILE_OFFSETS, _T_TILE_COUNTS = 322, 323, 324, 325
 _T_SAMPLE_FORMAT = 339
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
+_T_MODEL_TRANSFORM = 34264
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
-              11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+              11: 4, 12: 8, 16: 8, 17: 8, 18: 8}  # 16-18: BigTIFF LONG8s
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 class GeoTiffError(ValueError):
@@ -69,7 +72,10 @@ class GeoTiffError(ValueError):
 
 
 def _read_ifd(buf: bytes) -> dict[int, tuple]:
-    """Parse the first IFD into {tag: (values...)} — classic TIFF only."""
+    """Parse the first IFD into {tag: (values...)} — classic TIFF (magic
+    42, 12-byte entries, 4-byte offsets) or BigTIFF (magic 43, 20-byte
+    entries, 8-byte offsets/counts; the >4 GB orthophoto shape — every
+    real mosaic tile GDAL emits at scale)."""
     if len(buf) < 8:
         raise GeoTiffError("not a TIFF: too short")
     bo = buf[:2]
@@ -80,23 +86,32 @@ def _read_ifd(buf: bytes) -> dict[int, tuple]:
     else:
         raise GeoTiffError("not a TIFF: bad byte-order mark")
     magic = struct.unpack(e + "H", buf[2:4])[0]
-    if magic == 43:
-        raise GeoTiffError("BigTIFF is not supported (classic TIFF only)")
-    if magic != 42:
+    if magic == 43:  # BigTIFF (Adobe/AWare 2004 spec, public)
+        off_size, ok = struct.unpack(e + "HH", buf[4:8])
+        if off_size != 8 or ok != 0:
+            raise GeoTiffError(f"bad BigTIFF header ({off_size}, {ok})")
+        (ifd_off,) = struct.unpack(e + "Q", buf[8:16])
+        (n_entries,) = struct.unpack(e + "Q", buf[ifd_off:ifd_off + 8])
+        ent0, ent_sz, inline, cnt_fmt = ifd_off + 8, 20, 8, "Q"
+    elif magic == 42:
+        (ifd_off,) = struct.unpack(e + "I", buf[4:8])
+        (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
+        ent0, ent_sz, inline, cnt_fmt = ifd_off + 2, 12, 4, "I"
+    else:
         raise GeoTiffError(f"not a TIFF: magic {magic}")
-    (ifd_off,) = struct.unpack(e + "I", buf[4:8])
-    (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
     tags: dict[int, tuple] = {}
-    for i in range(n_entries):
-        o = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack(e + "HHI", buf[o:o + 8])
+    for i in range(int(n_entries)):
+        o = ent0 + ent_sz * i
+        tag, typ = struct.unpack(e + "HH", buf[o:o + 4])
+        (cnt,) = struct.unpack(e + cnt_fmt, buf[o + 4:o + 4 + inline])
         if typ not in _TYPE_SIZE:
             continue
         size = _TYPE_SIZE[typ] * cnt
-        if size <= 4:
-            raw = buf[o + 8:o + 8 + size]
+        val_o = o + 4 + inline
+        if size <= inline:
+            raw = buf[val_o:val_o + size]
         else:
-            (voff,) = struct.unpack(e + "I", buf[o + 8:o + 12])
+            (voff,) = struct.unpack(e + cnt_fmt, buf[val_o:val_o + inline])
             raw = buf[voff:voff + size]
         if typ in (5, 10):  # rational: pairs of (num, den)
             base = "I" if typ == 5 else "i"
@@ -170,18 +185,31 @@ def geotiff_meta(buf: bytes) -> dict:
         }
     else:
         raise GeoTiffError("neither tiled nor stripped layout present")
+    # georeferencing: PixelScale+Tiepoint (axis-aligned) or the full
+    # affine ModelTransformationTag (GDAL's rotated-source form)
     scale = t.get(_T_PIXEL_SCALE)
     tie = t.get(_T_TIEPOINT)
-    if scale is None or tie is None:
+    xf = t.get(_T_MODEL_TRANSFORM)
+    if scale is not None and tie is not None:
+        # tiepoint (i, j, k, X, Y, Z): raster point (i, j) at model (X, Y)
+        i, j = tie[0], tie[1]
+        X, Y = tie[3], tie[4]
+        sx, sy = scale[0], scale[1]
+        gt = [X - i * sx, sx, 0.0, Y + j * sy, 0.0, -sy]
+    elif xf is not None and len(xf) == 16:
+        # ModelTransformationTag (GeoTIFF 1.1 §B.6): row-major 4x4 affine
+        # X = m00*col + m01*row + m03; Y = m10*col + m11*row + m13.
+        # GDAL writes this form for ROTATED geo-transforms — which the
+        # warp supports (rotated-GT golden pytest) — so carry the shear
+        # terms through instead of rejecting.
+        if xf[2] != 0.0 or xf[6] != 0.0:
+            raise GeoTiffError("3-D ModelTransformation is not supported")
+        gt = [xf[3], xf[0], xf[1], xf[7], xf[4], xf[5]]
+    else:
         raise GeoTiffError(
-            "missing ModelPixelScale/ModelTiepoint (ModelTransformation "
-            "and non-georeferenced TIFFs are not supported)"
+            "missing ModelPixelScale/ModelTiepoint or ModelTransformation "
+            "(non-georeferenced TIFFs are not supported)"
         )
-    # tiepoint (i, j, k, X, Y, Z): raster point (i, j) sits at model (X, Y)
-    i, j = tie[0], tie[1]
-    X, Y = tie[3], tie[4]
-    sx, sy = scale[0], scale[1]
-    gt = [X - i * sx, sx, 0.0, Y + j * sy, 0.0, -sy]
     return {
         "width": int(width), "height": int(height), "bands": int(spp),
         "compression": int(comp), "predictor": int(pred), "layout": layout,
@@ -399,9 +427,11 @@ def split_blocks(buf: bytes, ensure_alpha: bool = True) -> Iterator[dict]:
             "block_x": 0, "block_y": 0, "width": bw, "height": bh,
             "bands": out_bands,
             "data": np.ascontiguousarray(arr).tobytes(),
+            # per-block origin walks BOTH gt columns so a rotated/sheared
+            # ModelTransformation source stays exact per block
             "geo_transform": [
-                gt[0] + px0 * gt[1], gt[1], 0.0,
-                gt[3] + py0 * gt[5], 0.0, gt[5],
+                gt[0] + px0 * gt[1] + py0 * gt[2], gt[1], gt[2],
+                gt[3] + px0 * gt[4] + py0 * gt[5], gt[4], gt[5],
             ],
             "crs": meta["crs"],
             "nodata": [None] * out_bands,
@@ -453,14 +483,24 @@ def write_geotiff(
     rows_per_strip: int | None = None,
     compression: str = "none",
     predictor: int = 1,
+    bigtiff: bool = False,
+    model_transform: bool = False,
 ) -> None:
-    """Write (H, W, bands) u8 as a classic little-endian GeoTIFF."""
+    """Write (H, W, bands) u8 as a little-endian GeoTIFF.  ``bigtiff``
+    emits the BigTIFF container (magic 43, 8-byte offsets — required
+    past 4 GB; here it exercises the reader's BigTIFF path).
+    ``model_transform`` georeferences via ModelTransformationTag instead
+    of PixelScale+Tiepoint and is REQUIRED for rotated/sheared
+    geo-transforms (PixelScale cannot express them)."""
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, nb = img.shape
     gt = geo_transform
-    if gt[2] != 0.0 or gt[4] != 0.0:
-        raise GeoTiffError("writer supports axis-aligned transforms only")
+    if (gt[2] != 0.0 or gt[4] != 0.0) and not model_transform:
+        raise GeoTiffError(
+            "rotated transforms need model_transform=True "
+            "(PixelScale+Tiepoint is axis-aligned only)"
+        )
     comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
 
     def _pack_block(a: np.ndarray) -> bytes:
@@ -498,8 +538,6 @@ def write_geotiff(
     geokeys = [1, 1, 1, 2,
                1024, 0, 1, 1,      # GTModelType = projected
                3072, 0, 1, epsg]   # ProjectedCSType
-    scale = [gt[1], -gt[5], 0.0]
-    tie = [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]
 
     entries: list[tuple[int, int, tuple]] = [
         (_T_WIDTH, 4, (W,)), (_T_HEIGHT, 4, (H,)),
@@ -507,10 +545,19 @@ def write_geotiff(
         (_T_PHOTOMETRIC, 3, (2 if nb >= 3 else 1,)),
         (_T_SPP, 3, (nb,)), (_T_PLANAR, 3, (1,)),
         (_T_PREDICTOR, 3, (predictor,)),
-        (_T_PIXEL_SCALE, 12, tuple(scale)),
-        (_T_TIEPOINT, 12, tuple(tie)),
         (_T_GEOKEYS, 3, tuple(geokeys)),
     ]
+    if model_transform:
+        xf = (gt[1], gt[2], 0.0, gt[0],
+              gt[4], gt[5], 0.0, gt[3],
+              0.0, 0.0, 0.0, 0.0,
+              0.0, 0.0, 0.0, 1.0)
+        entries.append((_T_MODEL_TRANSFORM, 12, xf))
+    else:
+        entries += [
+            (_T_PIXEL_SCALE, 12, (gt[1], -gt[5], 0.0)),
+            (_T_TIEPOINT, 12, (0.0, 0.0, 0.0, gt[0], gt[3], 0.0)),
+        ]
     if tile is not None:
         entries += [
             (_T_TILE_W, 4, (tile[0],)), (_T_TILE_H, 4, (tile[1],)),
@@ -524,11 +571,30 @@ def write_geotiff(
             (_T_ROWS_PER_STRIP, 4, (rps,)),
             (_T_STRIP_COUNTS, 4, tuple(len(b) for b in blocks)),
         ]
+    if bigtiff:
+        # offsets/counts carry LONG8 (type 16): the whole point of the
+        # container is block data past the 4 GB line
+        _long8 = {_T_TILE_OFFSETS, _T_TILE_COUNTS,
+                  _T_STRIP_OFFSETS, _T_STRIP_COUNTS}
+        entries = [(tag, 16 if tag in _long8 else typ, vals)
+                   for tag, typ, vals in entries]
     entries.sort(key=lambda x: x[0])
 
-    # layout: header(8) | IFD | out-of-line values | block data
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header | IFD | out-of-line values | block data.
+    # classic: 8-byte header, 12-byte entries, 4-byte inline values;
+    # BigTIFF: 16-byte header, 20-byte entries, 8-byte inline values.
+    if bigtiff:
+        ifd_off, inline, cnt_fmt = 16, 8, "Q"
+        ifd_size = 8 + 20 * len(entries) + 8
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+        n_pack = struct.pack("<Q", len(entries))
+        next_ptr = struct.pack("<Q", 0)
+    else:
+        ifd_off, inline, cnt_fmt = 8, 4, "I"
+        ifd_size = 2 + 12 * len(entries) + 4
+        header = struct.pack("<2sHI", b"II", 42, ifd_off)
+        n_pack = struct.pack("<H", len(entries))
+        next_ptr = struct.pack("<I", 0)
     val_off = ifd_off + ifd_size
     overflow: list[bytes] = []
     packed: list[bytes] = []
@@ -538,7 +604,7 @@ def write_geotiff(
     for tag, typ, vals in entries:
         size = _TYPE_SIZE[typ] * len(vals)
         sizes.append(size)
-    total_overflow = sum(s for s in sizes if s > 4)
+    total_overflow = sum(s for s in sizes if s > inline)
     data_off = val_off + total_overflow
     offsets_tag = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
     block_offsets = []
@@ -554,18 +620,18 @@ def write_geotiff(
             raw = struct.pack("<" + "d" * len(vals), *vals)
         else:
             raw = struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals)
-        if size <= 4:
-            packed.append(struct.pack("<HHI", tag, typ, len(vals))
-                          + raw.ljust(4, b"\0"))
+        head = struct.pack("<HH" + cnt_fmt, tag, typ, len(vals))
+        if size <= inline:
+            packed.append(head + raw.ljust(inline, b"\0"))
         else:
-            packed.append(struct.pack("<HHII", tag, typ, len(vals), cur))
+            packed.append(head + struct.pack("<" + cnt_fmt, cur))
             overflow.append(raw)
             cur += size
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", len(entries))
+    out += header
+    out += n_pack
     out += b"".join(packed)
-    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += next_ptr
     out += b"".join(overflow)
     for b in blocks:
         out += b

@@ -116,10 +116,56 @@ def test_reader_rejects_unsupported():
         geotiff.geotiff_meta(b"XX" + buf[2:])
     with pytest.raises(geotiff.GeoTiffError):
         geotiff.geotiff_meta(buf[:4])
-    # BigTIFF magic
+    # BigTIFF header with a wrong offset size must still be rejected
     import struct
     with pytest.raises(geotiff.GeoTiffError, match="BigTIFF"):
-        geotiff.geotiff_meta(b"II" + struct.pack("<H", 43) + buf[4:])
+        geotiff.geotiff_meta(
+            b"II" + struct.pack("<HHH", 43, 4, 0) + buf[8:])
+
+
+def test_bigtiff_and_model_transform_roundtrip(spark):
+    """BigTIFF container (magic 43, 8-byte offsets, LONG8 offset/count
+    tags — the >4 GB orthophoto shape) and ModelTransformationTag
+    georeferencing (GDAL's form for ROTATED sources) both roundtrip
+    through the Spark ingestion path; the rotated case checks that the
+    per-block geo_transform walks BOTH affine columns."""
+    import numpy as np
+
+    img = _law_image()[:100, :90]
+    gt_rot = [GT[0], 90.0, 25.0, GT[3], 15.0, -90.0]
+    tmp = tempfile.mkdtemp(prefix="gtif_big_")
+    try:
+        cases = [
+            (dict(bigtiff=True, tile=(64, 64), compression="deflate",
+                  predictor=2), GT),
+            (dict(bigtiff=True, rows_per_strip=17, compression="lzw"), GT),
+            (dict(model_transform=True, rows_per_strip=33), GT),
+            (dict(bigtiff=True, model_transform=True, tile=(64, 64),
+                  compression="packbits"), gt_rot),
+        ]
+        for i, (kw, g) in enumerate(cases):
+            p = os.path.join(tmp, f"v{i}.tif")
+            geotiff.write_geotiff(p, img, g, epsg=3857, **kw)
+            m = geotiff.geotiff_meta(open(p, "rb").read())
+            assert np.allclose(m["geo_transform"], g), kw
+            rows = geotiff.geotiff_blocks(spark, p).collect()
+            got = np.zeros_like(img)
+            inv = np.linalg.inv([[g[1], g[2]], [g[4], g[5]]])
+            for r in rows:
+                bg = r.geo_transform
+                px0, py0 = inv @ [bg[0] - g[0], bg[3] - g[3]]
+                px0, py0 = round(px0), round(py0)
+                a = np.frombuffer(bytes(r.data), np.uint8).reshape(
+                    r.height, r.width, r.bands)
+                got[py0:py0 + r.height, px0:px0 + r.width] = a
+            assert np.array_equal(got, img), kw
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # rotated transforms refuse the PixelScale form (it cannot express them)
+    with pytest.raises(geotiff.GeoTiffError, match="model_transform"):
+        geotiff.write_geotiff(os.path.join("/tmp", "never.tif"),
+                              img, gt_rot, epsg=3857)
 
 
 def _imageio_ramp(w, h):
