@@ -357,6 +357,322 @@ def _wrap_pair(fwd: Transform, inv: Transform) -> tuple[Transform, Transform]:
     return to_merc, from_merc
 
 
+# ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819) + geocentric datum steps + pipeline interpreter
+# — the reference's own production CRS: its README drives every Slovak
+# orthophoto run with --source-srs EPSG:8353 and a krovak/cart/helmert/
+# webmerc --transform-pipeline (README.md:75-77,168).  Formulas follow the
+# public PROJ krovak implementation / EPSG Guidance Note 7-2.
+# ---------------------------------------------------------------------------
+
+# public EPSG ellipsoid constants: (a, 1/f)
+_ELLPS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "bessel": (6377397.155, 299.1528128),
+}
+
+
+class _Krovak:
+    """Krovak oblique conformal conic on Bessel (S-JTSK).  Default sign
+    convention is Krovak East North (EPSG:5514/8353: both coordinates
+    negative); ``czech=True`` is PROJ's +czech (positive southing/
+    westing).  +alpha in PROJ strings is accepted but unused — like PROJ,
+    the cone azimuth is derived from the ellipsoid."""
+
+    S45 = math.pi / 4.0
+    UQ = 1.04216856380474       # DU(2, 59d42'42.69689'') — PROJ constant
+    S0 = 1.37008346281555       # apex latitude 78d30'
+
+    def __init__(self, lat0=49.5, lon0=24.833333333333333, k0=0.9999,
+                 x0=0.0, y0=0.0, ellps="bessel", czech=False):
+        a, rf = _ELLPS[ellps]
+        f = 1.0 / rf
+        self.a, self.es = a, f * (2.0 - f)
+        self.e = math.sqrt(self.es)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.sign = 1.0 if czech else -1.0
+        phi0 = math.radians(lat0)
+        es, e = self.es, self.e
+        self.alfa = math.sqrt(1.0 + es * math.cos(phi0) ** 4 / (1.0 - es))
+        u0 = math.asin(math.sin(phi0) / self.alfa)
+        g = ((1.0 + e * math.sin(phi0)) / (1.0 - e * math.sin(phi0))) ** (
+            self.alfa * e / 2.0)
+        self.k = (math.tan(u0 / 2.0 + self.S45)
+                  / math.tan(phi0 / 2.0 + self.S45) ** self.alfa * g)
+        n0 = math.sqrt(1.0 - es) / (1.0 - es * math.sin(phi0) ** 2)
+        self.n = math.sin(self.S0)
+        self.ro0 = k0 * n0 / math.tan(self.S0)
+        self.ad = math.pi / 2.0 - self.UQ
+
+    def fwd(self, lon: np.ndarray, lat: np.ndarray):
+        """(lon, lat) radians on the ellipsoid -> Krovak meters."""
+        lam = np.asarray(lon, float) - self.lon0
+        phi = np.asarray(lat, float)
+        e, alfa, n = self.e, self.alfa, self.n
+        gfi = ((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi))) ** (
+            alfa * e / 2.0)
+        u = 2.0 * (np.arctan(self.k * np.tan(phi / 2.0 + self.S45) ** alfa
+                             / gfi) - self.S45)
+        deltav = -lam * alfa
+        s = np.arcsin(np.cos(self.ad) * np.sin(u)
+                      + np.sin(self.ad) * np.cos(u) * np.cos(deltav))
+        d = np.arcsin(np.cos(u) * np.sin(deltav) / np.cos(s))
+        eps = n * d
+        ro = (self.ro0 * math.tan(self.S0 / 2.0 + self.S45) ** n
+              / np.tan(s / 2.0 + self.S45) ** n)
+        y = ro * np.cos(eps) * self.a * self.sign + self.y0
+        x = ro * np.sin(eps) * self.a * self.sign + self.x0
+        return x, y
+
+    def inv(self, x: np.ndarray, y: np.ndarray):
+        """Krovak meters -> (lon, lat) radians on the ellipsoid."""
+        xr = (np.asarray(x, float) - self.x0) * self.sign / self.a
+        yr = (np.asarray(y, float) - self.y0) * self.sign / self.a
+        e, alfa, n = self.e, self.alfa, self.n
+        ro = np.hypot(xr, yr)
+        eps = np.arctan2(xr, yr)
+        d = eps / self.n
+        s = 2.0 * (np.arctan((self.ro0 / ro) ** (1.0 / n)
+                             * math.tan(self.S0 / 2.0 + self.S45)) - self.S45)
+        u = np.arcsin(np.cos(self.ad) * np.sin(s)
+                      - np.sin(self.ad) * np.cos(s) * np.cos(d))
+        deltav = np.arcsin(np.cos(s) * np.sin(d) / np.cos(u))
+        lam = -deltav / alfa
+        ku = self.k ** (-1.0 / alfa) * np.tan(u / 2.0 + self.S45) ** (1.0 / alfa)
+        phi = u
+        for _ in range(8):
+            phi = 2.0 * (np.arctan(
+                ku * ((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi)))
+                ** (e / 2.0)) - self.S45)
+        return lam + self.lon0, phi
+
+
+def geodetic_to_cart(lon, lat, h, ellps="WGS84"):
+    """Geodetic radians + ellipsoidal height -> geocentric XYZ meters."""
+    a, rf = _ELLPS[ellps]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    sl = np.sin(lat)
+    n = a / np.sqrt(1.0 - es * sl ** 2)
+    return ((n + h) * np.cos(lat) * np.cos(lon),
+            (n + h) * np.cos(lat) * np.sin(lon),
+            (n * (1.0 - es) + h) * sl)
+
+
+def cart_to_geodetic(X, Y, Z, ellps="WGS84"):
+    """Geocentric XYZ -> geodetic radians + height (fixed-point, sub-mm)."""
+    a, rf = _ELLPS[ellps]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    lon = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    lat = np.arctan2(Z, p * (1.0 - es))
+    h = np.zeros_like(p)
+    for _ in range(6):
+        sl = np.sin(lat)
+        n = a / np.sqrt(1.0 - es * sl ** 2)
+        h = p / np.cos(lat) - n
+        lat = np.arctan2(Z, p * (1.0 - es * n / (n + h)))
+    return lon, lat, h
+
+
+def helmert7(tx, ty, tz, rx_as=0.0, ry_as=0.0, rz_as=0.0, s_ppm=0.0,
+             convention="position_vector"):
+    """7-parameter Helmert on geocentric XYZ (EPSG 1033/1032).  Rotations
+    in arc-seconds, scale in ppm.  Returns (fwd, inv); inv uses the true
+    matrix inverse so roundtrips are exact to float precision."""
+    r = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx_as * r, ry_as * r, rz_as * r
+    sc = 1.0 + s_ppm * 1e-6
+    if convention == "coordinate_frame":
+        m = np.array([[1.0, rz, -ry], [-rz, 1.0, rx], [ry, -rx, 1.0]])
+    elif convention == "position_vector":
+        m = np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+    else:
+        raise ValueError(f"unknown helmert convention {convention!r}")
+    t = np.array([tx, ty, tz])
+    mi = np.linalg.inv(sc * m)
+
+    def fwd(X, Y, Z):
+        v = sc * (m @ np.vstack([np.ravel(X), np.ravel(Y), np.ravel(Z)]))
+        shp = np.shape(X)
+        return (v[0].reshape(shp) + t[0], v[1].reshape(shp) + t[1],
+                v[2].reshape(shp) + t[2])
+
+    def inv(X, Y, Z):
+        v = mi @ np.vstack([np.ravel(X) - t[0], np.ravel(Y) - t[1],
+                            np.ravel(Z) - t[2]])
+        shp = np.shape(X)
+        return v[0].reshape(shp), v[1].reshape(shp), v[2].reshape(shp)
+
+    return fwd, inv
+
+
+def _krovak_pair(kr: _Krovak, towgs84=None, convention="position_vector"):
+    """(to_merc, from_merc) for a Krovak CRS: inverse Krovak on Bessel,
+    optional geocentric Helmert datum shift to WGS84, then WebMercator.
+    Without ``towgs84`` the geodetic coordinates pass through unshifted
+    (PROJ's null-transform behavior when no datum is given)."""
+    if towgs84 is not None:
+        p = list(towgs84) + [0.0] * (7 - len(towgs84))
+        h_fwd, h_inv = helmert7(*p, convention=convention)
+    else:
+        h_fwd = h_inv = None
+
+    def to_merc(X, Y):
+        lon, lat = kr.inv(X, Y)
+        if h_fwd is not None:
+            cx, cy, cz = geodetic_to_cart(lon, lat, np.zeros_like(lon),
+                                          "bessel")
+            lon, lat, _ = cart_to_geodetic(*h_fwd(cx, cy, cz), "WGS84")
+        return mercator.np_lonlat_to_merc(
+            np.degrees(lon), np.clip(np.degrees(lat), -85.06, 85.06))
+
+    def from_merc(mx, my):
+        lon = np.asarray(mx, float) / mercator.R
+        lat = 2.0 * np.arctan(np.exp(np.asarray(my, float) / mercator.R)) \
+            - np.pi / 2.0
+        if h_inv is not None:
+            cx, cy, cz = geodetic_to_cart(lon, lat, np.zeros_like(lon),
+                                          "WGS84")
+            lon, lat, _ = cart_to_geodetic(*h_inv(cx, cy, cz), "bessel")
+        return kr.fwd(lon, lat)
+
+    return to_merc, from_merc
+
+
+# S-JTSK datum shifts to WGS84 (public EPSG registry values; the 8353
+# 7-parameter set is the one the reference's own pipeline carries)
+_SJTSK_TOWGS84 = (589.0, 76.0, 480.0)
+_JTSK03_HELMERT = (485.021, 169.465, 483.839,
+                   -7.786342, -4.397554, -4.102655, 0.0)
+
+
+def _compile_pipeline(proj: str) -> tuple[Transform, Transform]:
+    """Execute a multi-step `+proj=pipeline` string (the reference's
+    --transform-pipeline form, src/args.rs:36-38): each +step becomes a
+    vectorized numpy stage over (x, y, z) state; from_merc runs the steps
+    reversed with direction flipped.  Supported steps: krovak, cart,
+    helmert (position_vector/coordinate_frame), push/pop +v_3, webmerc,
+    and hgridshift as identity (grid files aren't shipped; in the
+    reference's own JTSK03 pipeline the surrounding krovak steps then
+    cancel exactly, leaving the documented no-grid approximation)."""
+    parts = [p.strip() for p in proj.split("+step")]
+    head = dict(
+        tok.lstrip("+").partition("=")[::2]
+        for tok in parts[0].split() if tok.startswith("+")
+    )
+    if head.get("proj") != "pipeline":
+        raise ValueError("not a +proj=pipeline string")
+    stages: list[tuple] = []  # (fwd_fn, inv_fn) on (x, y, z, stack)
+    for step in parts[1:]:
+        kv: dict[str, str | bool] = {}
+        inv_flag = False
+        for tok in step.split():
+            tok = tok.lstrip("+")
+            if tok == "inv":
+                inv_flag = True
+                continue
+            k, _, v = tok.partition("=")
+            kv[k] = v if v else True
+        p = kv.get("proj")
+        if p == "krovak":
+            kr = _Krovak(
+                lat0=float(str(kv.get("lat_0", 49.5))),
+                lon0=float(str(kv.get("lon_0", 24.833333333333333))),
+                k0=float(str(kv.get("k", kv.get("k_0", 0.9999)))),
+                x0=float(str(kv.get("x_0", 0.0))),
+                y0=float(str(kv.get("y_0", 0.0))),
+                ellps=str(kv.get("ellps", "bessel")),
+                czech=bool(kv.get("czech", False)),
+            )
+
+            def f(x, y, z, st, kr=kr):
+                nx, ny = kr.fwd(x, y)
+                return nx, ny, z, st
+
+            def g(x, y, z, st, kr=kr):
+                nx, ny = kr.inv(x, y)
+                return nx, ny, z, st
+        elif p == "cart":
+            ell = str(kv.get("ellps", "WGS84"))
+
+            def f(x, y, z, st, ell=ell):
+                return (*geodetic_to_cart(x, y, z, ell),) + (st,)
+
+            def g(x, y, z, st, ell=ell):
+                return (*cart_to_geodetic(x, y, z, ell),) + (st,)
+        elif p == "helmert":
+            conv = str(kv.get("convention", "position_vector"))
+            hf, hi = helmert7(
+                float(str(kv.get("x", 0.0))), float(str(kv.get("y", 0.0))),
+                float(str(kv.get("z", 0.0))), float(str(kv.get("rx", 0.0))),
+                float(str(kv.get("ry", 0.0))), float(str(kv.get("rz", 0.0))),
+                float(str(kv.get("s", 0.0))), convention=conv,
+            )
+
+            def f(x, y, z, st, hf=hf):
+                return (*hf(x, y, z),) + (st,)
+
+            def g(x, y, z, st, hi=hi):
+                return (*hi(x, y, z),) + (st,)
+        elif p in ("push", "pop"):
+            if "v_3" not in kv:
+                raise ValueError(f"only +v_3 push/pop supported: {step!r}")
+            is_push = (p == "push") != inv_flag
+            inv_flag = False  # direction folded into is_push
+
+            def f(x, y, z, st, is_push=is_push):
+                if is_push:
+                    return x, y, z, st + [z]
+                return x, y, st[-1], st[:-1]
+
+            def g(x, y, z, st, is_push=is_push):
+                if not is_push:
+                    return x, y, z, st + [z]
+                return x, y, st[-1], st[:-1]
+        elif p == "hgridshift":
+            def f(x, y, z, st):
+                return x, y, z, st
+
+            g = f
+        elif p == "webmerc":
+            def f(x, y, z, st):
+                mx, my = mercator.np_lonlat_to_merc(
+                    np.degrees(np.asarray(x, float)),
+                    np.clip(np.degrees(np.asarray(y, float)), -85.06, 85.06))
+                return mx, my, z, st
+
+            def g(x, y, z, st):
+                lon = np.asarray(x, float) / mercator.R
+                lat = (2.0 * np.arctan(np.exp(np.asarray(y, float)
+                                              / mercator.R)) - np.pi / 2.0)
+                return lon, lat, z, st
+        else:
+            raise ValueError(f"unsupported pipeline step {step!r}")
+        stages.append((g, f) if inv_flag else (f, g))
+
+    def to_merc(X, Y):
+        x = np.asarray(X, float)
+        y = np.asarray(Y, float)
+        z, st = np.zeros_like(x), []
+        for fwd, _ in stages:
+            x, y, z, st = fwd(x, y, z, st)
+        return x, y
+
+    def from_merc(mx, my):
+        x = np.asarray(mx, float)
+        y = np.asarray(my, float)
+        z, st = np.zeros_like(x), []
+        for _, inv in reversed(stages):
+            x, y, z, st = inv(x, y, z, st)
+        return x, y
+
+    return to_merc, from_merc
+
+
 def parse_proj_pipeline(proj: str) -> str:
     """Common `+proj=...` pipeline strings -> a CRS name this registry
     resolves (the reference accepts a PROJ pipeline via --transform-
@@ -366,6 +682,13 @@ def parse_proj_pipeline(proj: str) -> str:
     +y_0) — the WGS84-ellipsoid forms the tiler's sources use.  tmerc
     strings register their transform pair under the normalized string
     and return it."""
+    # multi-step pipelines first: a flat key-value parse would let later
+    # +proj= tokens shadow the pipeline marker
+    if "+proj=pipeline" in proj.split():
+        name = " ".join(proj.split())
+        if name not in _REGISTRY:
+            _REGISTRY[name] = _compile_pipeline(proj)
+        return name
     kv: dict[str, str | bool] = {}
     for tok in proj.split():
         tok = tok.lstrip("+")
@@ -425,10 +748,28 @@ def parse_proj_pipeline(proj: str) -> str:
         if name not in _REGISTRY:
             _REGISTRY[name] = _stere_pair(lat0, lat_ts, k0, lon0, x0, y0)
         return name
+    if p == "krovak":
+        lat0 = float(str(kv.get("lat_0", 49.5)))
+        lon0 = float(str(kv.get("lon_0", 24.833333333333333)))
+        k0 = float(str(kv.get("k", kv.get("k_0", 0.9999))))
+        x0 = float(str(kv.get("x_0", 0.0)))
+        y0 = float(str(kv.get("y_0", 0.0)))
+        czech = bool(kv.get("czech", False))
+        tow = None
+        if "towgs84" in kv:
+            tow = tuple(float(t) for t in str(kv["towgs84"]).split(","))
+        name = (f"+proj=krovak +lat_0={lat0!r} +lon_0={lon0!r} +k={k0!r} "
+                f"+x_0={x0!r} +y_0={y0!r}"
+                + (" +czech" if czech else "")
+                + (f" +towgs84={kv['towgs84']}" if tow else ""))
+        if name not in _REGISTRY:
+            kr = _Krovak(lat0, lon0, k0, x0, y0, czech=czech)
+            _REGISTRY[name] = _krovak_pair(kr, towgs84=tow)
+        return name
     raise ValueError(
         f"unsupported PROJ pipeline {proj!r}: longlat/webmerc/utm/tmerc/"
-        f"lcc/aea/stere forms are parsed; register_crs(...) covers "
-        f"anything else"
+        f"lcc/aea/stere/krovak/pipeline forms are parsed; "
+        f"register_crs(...) covers anything else"
     )
 
 
@@ -454,6 +795,18 @@ def lookup_crs(name: str) -> tuple[Transform, Transform] | None:
             zone = int(code[3:])
             if 1 <= zone <= 60:
                 _REGISTRY[name] = _utm_pair(zone, south=code[:3] == "327")
+        elif code == "5514":
+            # S-JTSK / Krovak East North (3-param EPSG datum shift)
+            _REGISTRY[name] = _krovak_pair(_Krovak(),
+                                           towgs84=_SJTSK_TOWGS84)
+        elif code == "8353":
+            # S-JTSK [JTSK03] / Krovak East North — the reference's own
+            # --source-srs (README.md:75); 7-param coordinate-frame
+            # Helmert per its pipeline (grid-shift refinement omitted:
+            # no .gsb in this container, documented approximation)
+            _REGISTRY[name] = _krovak_pair(
+                _Krovak(), towgs84=_JTSK03_HELMERT,
+                convention="coordinate_frame")
     if name not in _REGISTRY:
         raise ValueError(
             f"unknown CRS {name!r}: supported natively EPSG:3857/4326, "

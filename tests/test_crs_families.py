@@ -93,10 +93,91 @@ def test_stere_rejects_oblique():
         C.parse_proj_pipeline("+proj=stere +lat_0=52 +lon_0=5")
 
 
+# the reference README's LITERAL --transform-pipeline (README.md:75-77):
+# inv krovak -> (grid shift, identity here) -> cart/helmert/cart Bessel->
+# WGS84 -> webmerc
+REF_PIPELINE = (
+    "+proj=pipeline "
+    "+step +inv +proj=krovak +lat_0=49.5 +lon_0=24.8333333333333 "
+    "+alpha=30.2881397527778 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
+    "+step +inv +proj=hgridshift +grids=Slovakia_JTSK03_to_JTSK.gsb "
+    "+step +proj=krovak +lat_0=49.5 +lon_0=24.8333333333333 "
+    "+alpha=30.2881397527778 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
+    "+step +inv +proj=krovak +lat_0=49.5 +lon_0=24.8333333333333 "
+    "+alpha=30.2881397527778 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
+    "+step +proj=push +v_3 +step +proj=cart +ellps=bessel "
+    "+step +proj=helmert +x=485.021 +y=169.465 +z=483.839 +rx=-7.786342 "
+    "+ry=-4.397554 +rz=-4.102655 +s=0 +convention=coordinate_frame "
+    "+step +inv +proj=cart +ellps=WGS84 +step +proj=pop +v_3 "
+    "+step +proj=webmerc +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+)
+
+
+def test_krovak_epsg_worked_example():
+    """EPSG Guidance Note 7-2 Krovak test point: 50d12'32.4416\"N,
+    16d50'59.1790\"E (Greenwich) -> Southing 1050538.63 / Westing
+    568991.00 m; East-North (EPSG:5514 axes) negates both."""
+    kr = C._Krovak()
+    lat = math.radians(50 + 12 / 60 + 32.4416 / 3600)
+    lon = math.radians(16 + 50 / 60 + 59.1790 / 3600)
+    x, y = kr.fwd(np.array([lon]), np.array([lat]))
+    assert abs(x[0] + 568991.00) < 0.05
+    assert abs(y[0] + 1050538.63) < 0.05
+    krc = C._Krovak(czech=True)  # PROJ +czech: positive southing/westing
+    xc, yc = krc.fwd(np.array([lon]), np.array([lat]))
+    assert abs(xc[0] - 568991.00) < 0.05 and abs(yc[0] - 1050538.63) < 0.05
+    lo, la = kr.inv(x, y)
+    assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-12
+
+
+def test_krovak_datum_chain_roundtrip():
+    """EPSG:8353 (the reference's --source-srs) roundtrips through the
+    full inv-krovak -> cart -> 7-param Helmert -> webmerc chain; the
+    3-param EPSG:5514 variant must land a FEW METERS away (different
+    datum realization), never identical and never wildly off."""
+    kr = C._Krovak()
+    lons = np.radians(np.linspace(16.9, 22.5, 20))
+    lats = np.radians(np.linspace(47.8, 49.5, 20))
+    LO, LA = np.meshgrid(lons, lats)
+    kx, ky = kr.fwd(LO, LA)
+    tm8, fm8 = C.lookup_crs("EPSG:8353")
+    mx, my = tm8(kx, ky)
+    kx2, ky2 = fm8(mx, my)
+    assert max(np.abs(kx2 - kx).max(), np.abs(ky2 - ky).max()) < 1e-5
+    tm5, _ = C.lookup_crs("EPSG:5514")
+    m5 = tm5(kx, ky)
+    d = np.hypot(m5[0] - mx, m5[1] - my)
+    assert 0.1 < d.min() and d.max() < 50.0
+
+
+def test_reference_pipeline_literal_matches_epsg8353():
+    """The engine accepts the reference README's exact --transform-
+    pipeline string; with the grid-shift step as identity the krovak
+    triple cancels, so it must agree with the EPSG:8353 registry chain
+    to float precision, both directions."""
+    kr = C._Krovak()
+    lons = np.radians(np.linspace(17.0, 22.0, 15))
+    lats = np.radians(np.linspace(48.0, 49.4, 15))
+    LO, LA = np.meshgrid(lons, lats)
+    kx, ky = kr.fwd(LO, LA)
+    tm8, _ = C.lookup_crs("EPSG:8353")
+    ptm, pfm = C.lookup_crs(REF_PIPELINE)
+    mx, my = tm8(kx, ky)
+    pmx, pmy = ptm(kx, ky)
+    assert max(np.abs(pmx - mx).max(), np.abs(pmy - my).max()) < 1e-6
+    bx, by = pfm(pmx, pmy)
+    assert max(np.abs(bx - kx).max(), np.abs(by - ky).max()) < 1e-5
+    # normalized name re-parses to itself
+    name = C.parse_proj_pipeline(REF_PIPELINE)
+    assert C.parse_proj_pipeline(name) == name
+
+
 @pytest.mark.parametrize("proj", [
     "+proj=lcc +lat_1=48 +lat_2=49.5 +lat_0=48.5 +lon_0=17",
     "+proj=aea +lat_1=48 +lat_2=49.5 +lat_0=48.5 +lon_0=17",
     "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45",
+    "+proj=krovak +ellps=bessel +towgs84=589,76,480",
+    REF_PIPELINE,
 ])
 def test_warp_ramp_golden(spark, proj):
     """Same harness as the UTM Lanczos ramp golden: an easting ramp in the
