@@ -23,6 +23,76 @@ from pyspark.sql import SparkSession
 
 from freemap_tiler_spark.plans.store import read_tiles
 
+_TILE_SCHEMA = "zoom int, x int, tms_y int, tile_data binary, tile_alpha binary"
+
+
+def import_mbtiles(
+    spark: SparkSession,
+    path: str,
+    root: str,
+    batch: int = 8192,
+) -> str:
+    """A consumable .mbtiles file -> {root}/store parquet + metadata: the
+    ADOPT path.  A user's existing reference-produced store becomes this
+    engine's native zoom-partitioned table, so every operator — resume
+    anti-join, limits fold, pyramid deepening, incremental update —
+    applies to it directly.  Inverse of export_mbtiles: an export->import
+    (or import->export) round trip is byte-identical per tile.
+
+    SQLite is single-file/single-reader, so the scan necessarily streams
+    driver-side (mirror of the export): zoom-ordered fetchmany batches
+    append to the zoom-partitioned store — bounded driver memory, and
+    parquet files land z-ordered per zoom like the native writer.  Empty
+    tile_alpha blobs (the reference's opaque-elision encoding,
+    src/schema.rs:20-33) come back as NULL alpha, matching the native
+    store; metadata rows carry over and the limits JSON is recomputed
+    from the imported tiles (lineage.write_metadata)."""
+    from freemap_tiler_spark.plans.lineage import write_metadata
+
+    conn = sqlite3.connect(path)
+    try:
+        cur = conn.cursor()
+        meta = dict(cur.execute("SELECT name, value FROM metadata"))
+        cols = [r[1] for r in cur.execute("PRAGMA table_info(tiles)")]
+        jpeg = "tile_alpha" in cols
+        cur.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data"
+            + (", tile_alpha" if jpeg else "")
+            + " FROM tiles ORDER BY zoom_level, tile_column, tile_row"
+        )
+        out = os.path.join(root, "store")
+        wrote = False
+        while True:
+            rows = cur.fetchmany(batch)
+            if not rows:
+                break
+            recs = []
+            for r in rows:
+                alpha = r[4] if jpeg else None
+                recs.append((
+                    int(r[0]), int(r[1]), int(r[2]),
+                    bytes(r[3]) if r[3] is not None else None,
+                    bytes(alpha) if alpha else None,  # b"" = opaque-elided
+                ))
+            (spark.createDataFrame(recs, _TILE_SCHEMA)
+             .coalesce(1)
+             .write.mode("append" if wrote else "overwrite")
+             .partitionBy("zoom").parquet(out))
+            wrote = True
+        if not wrote:
+            (spark.createDataFrame([], _TILE_SCHEMA)
+             .write.mode("overwrite").partitionBy("zoom").parquet(out))
+    finally:
+        conn.close()
+    bounds = tuple(meta["bounds"].split(",")) if meta.get("bounds") else None
+    write_metadata(
+        spark, root, read_tiles(spark, root),
+        name=meta.get("name", "Tiles"), fmt=meta.get("format", "png"),
+        min_zoom=int(meta.get("minzoom", 0)),
+        max_zoom=int(meta.get("maxzoom", 0)), bounds=bounds,
+    )
+    return root
+
 
 def export_mbtiles(
     spark: SparkSession,

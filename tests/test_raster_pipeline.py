@@ -392,6 +392,64 @@ def test_mbtiles_export_png_and_jpeg(spark, blocks):
             shutil.rmtree(root, ignore_errors=True)
 
 
+def test_mbtiles_import_adopts_foreign_store(spark, blocks):
+    """The ADOPT path: an export->import round trip reproduces the store
+    byte-identically per tile (including jpeg's opaque-elided empty-blob
+    alpha -> NULL), the metadata carries over, the recomputed limits JSON
+    matches the original, and the imported store drives the engine's own
+    resume anti-join (zero pending = everything recognized as done)."""
+    import json
+    import sqlite3
+
+    from freemap_tiler_spark.functions import cells as CL
+    from freemap_tiler_spark.plans import lineage
+    from freemap_tiler_spark.plans.mbtiles import export_mbtiles, import_mbtiles
+
+    for fmt in ("png", "jpeg"):
+        root = tempfile.mkdtemp(prefix="tiler_mbi_src_")
+        root2 = tempfile.mkdtemp(prefix="tiler_mbi_dst_")
+        try:
+            run_tiler(spark, blocks, root, max_zoom=8, min_zoom=7,
+                      tile_size=32, fmt=fmt)
+            path = export_mbtiles(spark, root, f"{root}/out.mbtiles")
+            import_mbtiles(spark, path, root2, batch=7)  # multi-batch path
+
+            def snap(r):
+                return {
+                    (x.zoom, x.x, x.tms_y): (
+                        bytes(x.tile_data),
+                        bytes(x.tile_alpha) if x.tile_alpha is not None
+                        else None,
+                    )
+                    for x in store.read_tiles(spark, r)
+                    .where("tile_data is not null").collect()
+                }
+
+            assert snap(root2) == snap(root) and len(snap(root)) > 0
+            m1 = {r["name"]: r["value"] for r in spark.read.parquet(
+                f"{root}/metadata").collect()}
+            m2 = {r["name"]: r["value"] for r in spark.read.parquet(
+                f"{root2}/metadata").collect()}
+            assert m2["format"] == fmt and m2["maxzoom"] == m1["maxzoom"]
+            assert json.loads(m2["limits"]) == json.loads(m1["limits"])
+            # the adopted store satisfies the engine's resume probe
+            done = store.read_tiles(spark, root2).select(
+                CL.cell(F.col("zoom"), F.col("x"),
+                        CL.reversed_y(F.col("zoom"), F.col("tms_y")))
+                .alias("cell"))
+            pending = lineage.resume_anti_join(done, done)
+            assert pending.count() == 0
+            # re-export equals the original file's tile table
+            path2 = export_mbtiles(spark, root2, f"{root2}/out.mbtiles")
+            q = ("SELECT zoom_level, tile_column, tile_row, tile_data "
+                 "FROM tiles ORDER BY 1, 2, 3")
+            with sqlite3.connect(path) as c1, sqlite3.connect(path2) as c2:
+                assert list(c1.execute(q)) == list(c2.execute(q))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(root2, ignore_errors=True)
+
+
 def test_warp_utm_lanczos_ramp_golden(spark):
     """Generic-CRS warps use real 2-D Lanczos (not bilinear fallback):
     a UTM easting ramp must come back at the analytically expected values
