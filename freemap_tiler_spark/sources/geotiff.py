@@ -149,8 +149,10 @@ def _crs_from_geokeys(keys: tuple) -> str:
     return "EPSG:3857"
 
 
-def geotiff_meta(buf: bytes) -> dict:
-    """Layout + georeferencing of a GeoTIFF byte buffer (first IFD)."""
+def geotiff_meta(buf: bytes, require_geo: bool = True) -> dict:
+    """Layout + georeferencing of a GeoTIFF byte buffer (first IFD).
+    ``require_geo=False`` admits plain TIFFs (geo_transform/crs = None)
+    for callers that place the pixels in an external grid (VRT)."""
     t = _read_ifd(buf)
     if _T_WIDTH not in t or _T_HEIGHT not in t:
         raise GeoTiffError("missing ImageWidth/ImageLength")
@@ -205,6 +207,8 @@ def geotiff_meta(buf: bytes) -> dict:
         if xf[2] != 0.0 or xf[6] != 0.0:
             raise GeoTiffError("3-D ModelTransformation is not supported")
         gt = [xf[3], xf[0], xf[1], xf[7], xf[4], xf[5]]
+    elif not require_geo:
+        gt = None
     else:
         raise GeoTiffError(
             "missing ModelPixelScale/ModelTiepoint or ModelTransformation "
@@ -386,32 +390,75 @@ def _decode_block(buf: bytes, off: int, cnt: int, meta: dict,
     return arr
 
 
-def split_blocks(buf: bytes, ensure_alpha: bool = True) -> Iterator[dict]:
-    """Yield blocks-schema dicts (block_x=block_y=0, per-block translated
-    geo_transform) for every tile/strip of a GeoTIFF buffer; edge blocks
-    are cropped to the true image extent (TIFF pads them)."""
-    meta = geotiff_meta(buf)
-    W, H, nb = meta["width"], meta["height"], meta["bands"]
-    gt = meta["geo_transform"]
+def block_spans(meta: dict) -> list[tuple[int, int, int, int, int, int, int]]:
+    """(px0, py0, w, h, block_index, padded_w, padded_h) for every
+    tile/strip of a parsed layout — shared by the splitter and the
+    windowed reader."""
+    W, H = meta["width"], meta["height"]
     lay = meta["layout"]
-    out_bands = nb + 1 if (ensure_alpha and nb in (1, 3)) else nb
     if lay["kind"] == "tiled":
         tw, th = lay["tw"], lay["th"]
         across = (W + tw - 1) // tw
         down = (H + th - 1) // th
-        spans = [
+        return [
             (tx * tw, ty * th, min(tw, W - tx * tw), min(th, H - ty * th),
              ty * across + tx, tw, th)
             for ty in range(down) for tx in range(across)
         ]
-    else:
-        rps = lay["rps"]
-        down = (H + rps - 1) // rps
-        spans = [
-            (0, sy * rps, W, min(rps, H - sy * rps), sy, W, rps)
-            for sy in range(down)
+    rps = lay["rps"]
+    down = (H + rps - 1) // rps
+    return [
+        (0, sy * rps, W, min(rps, H - sy * rps), sy, W, rps)
+        for sy in range(down)
+    ]
+
+
+def read_region(buf: bytes, x0: int, y0: int, w: int, h: int,
+                meta: dict | None = None) -> np.ndarray:
+    """Decode ONLY the tiles/strips intersecting the pixel window
+    (x0, y0, w, h) -> (h, w, bands) u8.  This is the COG-style random
+    access a huge single-file source (e.g. the reference's mosaic-wide
+    mask band) needs: touching a 256px window of a 775k-pixel-wide mask
+    decodes a handful of its tiles, not the file."""
+    meta = meta or geotiff_meta(buf)
+    out = np.zeros((h, w, meta["bands"]), np.uint8)
+    lay = meta["layout"]
+    for px0, py0, bw, bh, idx, padw, padh in block_spans(meta):
+        ix0, iy0 = max(px0, x0), max(py0, y0)
+        ix1 = min(px0 + bw, x0 + w)
+        iy1 = min(py0 + bh, y0 + h)
+        if ix0 >= ix1 or iy0 >= iy1:
+            continue
+        store_h = padh if lay["kind"] == "tiled" else bh
+        arr = _decode_block(
+            buf, lay["offsets"][idx], lay["counts"][idx], meta, store_h, padw
+        )
+        out[iy0 - y0:iy1 - y0, ix0 - x0:ix1 - x0] = arr[
+            iy0 - py0:iy1 - py0, ix0 - px0:ix1 - px0
         ]
-    for px0, py0, bw, bh, idx, padw, padh in spans:
+    return out
+
+
+def split_blocks(buf: bytes, ensure_alpha: bool = True,
+                 override_gt: list[float] | None = None,
+                 origin_px: tuple[int, int] = (0, 0),
+                 override_crs: str | None = None) -> Iterator[dict]:
+    """Yield blocks-schema dicts (block_x=block_y=0, per-block translated
+    geo_transform) for every tile/strip of a GeoTIFF buffer; edge blocks
+    are cropped to the true image extent (TIFF pads them).
+
+    ``override_gt``/``origin_px``/``override_crs`` place the file inside
+    an EXTERNAL grid (a VRT mosaic): georeferencing comes from the given
+    transform at pixel offset origin_px instead of the file's own geo
+    tags (which may be absent — gdalbuildvrt sources often carry none)."""
+    meta = geotiff_meta(buf, require_geo=override_gt is None)
+    nb = meta["bands"]
+    gt = override_gt if override_gt is not None else meta["geo_transform"]
+    crs = override_crs if override_crs is not None else meta["crs"]
+    ox, oy = origin_px
+    lay = meta["layout"]
+    out_bands = nb + 1 if (ensure_alpha and nb in (1, 3)) else nb
+    for px0, py0, bw, bh, idx, padw, padh in block_spans(meta):
         if idx >= len(lay["offsets"]):
             raise GeoTiffError("block index beyond offsets array")
         # strips: the LAST strip is stored at its cropped height (TIFF 6.0
@@ -423,6 +470,7 @@ def split_blocks(buf: bytes, ensure_alpha: bool = True) -> Iterator[dict]:
         if out_bands != nb:
             alpha = np.full((bh, bw, 1), 255, np.uint8)
             arr = np.concatenate([arr, alpha], axis=2)
+        gx, gy = px0 + ox, py0 + oy
         yield {
             "block_x": 0, "block_y": 0, "width": bw, "height": bh,
             "bands": out_bands,
@@ -430,10 +478,10 @@ def split_blocks(buf: bytes, ensure_alpha: bool = True) -> Iterator[dict]:
             # per-block origin walks BOTH gt columns so a rotated/sheared
             # ModelTransformation source stays exact per block
             "geo_transform": [
-                gt[0] + px0 * gt[1] + py0 * gt[2], gt[1], gt[2],
-                gt[3] + px0 * gt[4] + py0 * gt[5], gt[4], gt[5],
+                gt[0] + gx * gt[1] + gy * gt[2], gt[1], gt[2],
+                gt[3] + gx * gt[4] + gy * gt[5], gt[4], gt[5],
             ],
-            "crs": meta["crs"],
+            "crs": crs,
             "nodata": [None] * out_bands,
         }
 
@@ -495,8 +543,9 @@ def write_geotiff(
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, nb = img.shape
-    gt = geo_transform
-    if (gt[2] != 0.0 or gt[4] != 0.0) and not model_transform:
+    gt = geo_transform  # None writes a PLAIN TIFF (VRT mosaic sources)
+    if gt is not None and (gt[2] != 0.0 or gt[4] != 0.0) \
+            and not model_transform:
         raise GeoTiffError(
             "rotated transforms need model_transform=True "
             "(PixelScale+Tiepoint is axis-aligned only)"
@@ -547,7 +596,9 @@ def write_geotiff(
         (_T_PREDICTOR, 3, (predictor,)),
         (_T_GEOKEYS, 3, tuple(geokeys)),
     ]
-    if model_transform:
+    if gt is None:
+        entries.remove((_T_GEOKEYS, 3, tuple(geokeys)))
+    elif model_transform:
         xf = (gt[1], gt[2], 0.0, gt[0],
               gt[4], gt[5], 0.0, gt[3],
               0.0, 0.0, 0.0, 0.0,
