@@ -171,6 +171,46 @@ def main() -> None:
     check("pack_summary: bucketed windows, JVM-only", p, ["Window"],
           ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"])
 
+    # 15. BPE encode (r5-cont): ONE Arrow pass, no shuffle, no join — the
+    # merge table rides the closure; Exchange in this plan would mean the
+    # tokenizer added a corpus shuffle it doesn't need
+    from freemap_tiler_spark.operators import tokenizer as _tk
+    merges = [("t", "h"), ("th", "e</w>")]
+    p = plan_of(_tk.bpe_encode(docs, merges))
+    check("bpe_encode: single Arrow pass, no shuffle", p,
+          ["MapInPandas"],
+          ["Exchange", "Join", "CartesianProduct"])
+
+    # 16. VRT ingestion (r5-cont): per-file fan-out is one mapInPandas
+    # over the tiny file manifest — one repartition of the manifest
+    # (file-count rows), then no further shuffle and no join
+    import os as _os
+    import tempfile as _tf
+
+    import numpy as _np
+
+    from freemap_tiler_spark.sources import geotiff as _gt
+    from freemap_tiler_spark.sources import vrt as _vrt
+    vtmp = _tf.mkdtemp(prefix="audit_vrt_")
+    img = _np.zeros((64, 64, 3), _np.uint8)
+    _gt.write_geotiff(_os.path.join(vtmp, "a.tif"), img, None, tile=(64, 64))
+    with open(_os.path.join(vtmp, "m.vrt"), "w") as fh:
+        fh.write(
+            '<VRTDataset rasterXSize="64" rasterYSize="64">'
+            "<SRS>EPSG:3857</SRS>"
+            "<GeoTransform>0, 100, 0, 0, 0, -100</GeoTransform>"
+            '<VRTRasterBand dataType="Byte" band="1"><SimpleSource>'
+            '<SourceFilename relativeToVRT="1">a.tif</SourceFilename>'
+            "<SourceBand>1</SourceBand>"
+            '<SrcRect xOff="0" yOff="0" xSize="64" ySize="64" />'
+            '<DstRect xOff="0" yOff="0" xSize="64" ySize="64" />'
+            "</SimpleSource></VRTRasterBand></VRTDataset>"
+        )
+    p = plan_of(_vrt.vrt_blocks(spark, _os.path.join(vtmp, "m.vrt")))
+    check("vrt_blocks: manifest fan-out only, no join", p,
+          ["MapInPandas"],
+          ["Join", "CartesianProduct"])
+
     report.append(f"\nFAILURES: {failures or 'none'}")
     out = "\n".join(report)
     with open("BENCH/explain_audit.md", "w") as f:
