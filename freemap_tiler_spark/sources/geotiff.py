@@ -71,11 +71,8 @@ class GeoTiffError(ValueError):
     pass
 
 
-def _read_ifd(buf: bytes) -> dict[int, tuple]:
-    """Parse the first IFD into {tag: (values...)} — classic TIFF (magic
-    42, 12-byte entries, 4-byte offsets) or BigTIFF (magic 43, 20-byte
-    entries, 8-byte offsets/counts; the >4 GB orthophoto shape — every
-    real mosaic tile GDAL emits at scale)."""
+def _tiff_layout(buf: bytes):
+    """(endian, first_ifd_offset, entry_size, inline_bytes, count_fmt)."""
     if len(buf) < 8:
         raise GeoTiffError("not a TIFF: too short")
     bo = buf[:2]
@@ -91,14 +88,22 @@ def _read_ifd(buf: bytes) -> dict[int, tuple]:
         if off_size != 8 or ok != 0:
             raise GeoTiffError(f"bad BigTIFF header ({off_size}, {ok})")
         (ifd_off,) = struct.unpack(e + "Q", buf[8:16])
-        (n_entries,) = struct.unpack(e + "Q", buf[ifd_off:ifd_off + 8])
-        ent0, ent_sz, inline, cnt_fmt = ifd_off + 8, 20, 8, "Q"
-    elif magic == 42:
+        return e, ifd_off, 20, 8, "Q"
+    if magic == 42:
         (ifd_off,) = struct.unpack(e + "I", buf[4:8])
-        (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
-        ent0, ent_sz, inline, cnt_fmt = ifd_off + 2, 12, 4, "I"
+        return e, ifd_off, 12, 4, "I"
+    raise GeoTiffError(f"not a TIFF: magic {magic}")
+
+
+def _read_ifd_at(buf: bytes, e: str, ifd_off: int, ent_sz: int,
+                 inline: int, cnt_fmt: str) -> tuple[dict[int, tuple], int]:
+    """One IFD at ``ifd_off`` -> ({tag: values}, next_ifd_offset)."""
+    if ent_sz == 20:
+        (n_entries,) = struct.unpack(e + "Q", buf[ifd_off:ifd_off + 8])
+        ent0 = ifd_off + 8
     else:
-        raise GeoTiffError(f"not a TIFF: magic {magic}")
+        (n_entries,) = struct.unpack(e + "H", buf[ifd_off:ifd_off + 2])
+        ent0 = ifd_off + 2
     tags: dict[int, tuple] = {}
     for i in range(int(n_entries)):
         o = ent0 + ent_sz * i
@@ -125,7 +130,32 @@ def _read_ifd(buf: bytes) -> dict[int, tuple]:
             tags[tag] = (bytes(raw),)  # Photoshop tags) — keep, don't crash
         else:
             tags[tag] = struct.unpack(e + _TYPE_FMT[typ] * cnt, raw)
+    nxt_o = ent0 + ent_sz * int(n_entries)
+    (nxt,) = struct.unpack(e + cnt_fmt, buf[nxt_o:nxt_o + inline])
+    return tags, int(nxt)
+
+
+def _read_ifd(buf: bytes) -> dict[int, tuple]:
+    """Parse the FIRST IFD into {tag: (values...)} — classic TIFF (magic
+    42, 12-byte entries, 4-byte offsets) or BigTIFF (magic 43, 20-byte
+    entries, 8-byte offsets/counts; the >4 GB orthophoto shape — every
+    real mosaic tile GDAL emits at scale)."""
+    e, ifd_off, ent_sz, inline, cnt_fmt = _tiff_layout(buf)
+    tags, _ = _read_ifd_at(buf, e, ifd_off, ent_sz, inline, cnt_fmt)
     return tags
+
+
+def read_ifds(buf: bytes, limit: int = 64) -> list[dict[int, tuple]]:
+    """Walk the whole IFD chain (COG files append reduced-resolution
+    overview IFDs, NewSubfileType=1, after the full-resolution one)."""
+    e, off, ent_sz, inline, cnt_fmt = _tiff_layout(buf)
+    out = []
+    seen = set()
+    while off and off not in seen and len(out) < limit:
+        seen.add(off)
+        tags, off = _read_ifd_at(buf, e, off, ent_sz, inline, cnt_fmt)
+        out.append(tags)
+    return out
 
 
 def _crs_from_geokeys(keys: tuple) -> str:
@@ -149,11 +179,13 @@ def _crs_from_geokeys(keys: tuple) -> str:
     return "EPSG:3857"
 
 
-def geotiff_meta(buf: bytes, require_geo: bool = True) -> dict:
-    """Layout + georeferencing of a GeoTIFF byte buffer (first IFD).
-    ``require_geo=False`` admits plain TIFFs (geo_transform/crs = None)
-    for callers that place the pixels in an external grid (VRT)."""
-    t = _read_ifd(buf)
+def geotiff_meta(buf: bytes, require_geo: bool = True,
+                 tags: dict[int, tuple] | None = None) -> dict:
+    """Layout + georeferencing of a GeoTIFF byte buffer (first IFD, or a
+    pre-parsed ``tags`` dict for overview IFDs).  ``require_geo=False``
+    admits plain TIFFs (geo_transform = None) for callers that place the
+    pixels in an external grid (VRT) or derive it (COG overviews)."""
+    t = tags if tags is not None else _read_ifd(buf)
     if _T_WIDTH not in t or _T_HEIGHT not in t:
         raise GeoTiffError("missing ImageWidth/ImageLength")
     width, height = t[_T_WIDTH][0], t[_T_HEIGHT][0]
@@ -390,6 +422,39 @@ def _decode_block(buf: bytes, off: int, cnt: int, meta: dict,
     return arr
 
 
+def geotiff_overviews(buf: bytes) -> list[dict]:
+    """Metas for the whole IFD chain: index 0 is full resolution (geo
+    tags required); overview levels (COG reduced-resolution IFDs) derive
+    their geo_transform by scaling level 0's by the size ratio and
+    inherit its CRS."""
+    chain = read_ifds(buf)
+    base = geotiff_meta(buf, tags=chain[0])
+    metas = [base]
+    g = base["geo_transform"]
+    for t in chain[1:]:
+        m = geotiff_meta(buf, require_geo=False, tags=t)
+        fx = base["width"] / m["width"]
+        fy = base["height"] / m["height"]
+        m["geo_transform"] = [g[0], g[1] * fx, g[2] * fy,
+                              g[3], g[4] * fx, g[5] * fy]
+        m["crs"] = base["crs"]
+        metas.append(m)
+    return metas
+
+
+def select_overview(metas: list[dict], max_pixel_size: float) -> dict:
+    """The COARSEST level whose pixel size still resolves
+    ``max_pixel_size`` (the tiler's target ground resolution) — i.e. the
+    cheapest IFD that loses nothing at the requested zoom.  Falls back to
+    full resolution when every overview is too coarse."""
+    best = metas[0]
+    for m in metas[1:]:
+        px = abs(m["geo_transform"][1])
+        if px <= max_pixel_size and px > abs(best["geo_transform"][1]):
+            best = m
+    return best
+
+
 def block_spans(meta: dict) -> list[tuple[int, int, int, int, int, int, int]]:
     """(px0, py0, w, h, block_index, padded_w, padded_h) for every
     tile/strip of a parsed layout — shared by the splitter and the
@@ -442,7 +507,8 @@ def read_region(buf: bytes, x0: int, y0: int, w: int, h: int,
 def split_blocks(buf: bytes, ensure_alpha: bool = True,
                  override_gt: list[float] | None = None,
                  origin_px: tuple[int, int] = (0, 0),
-                 override_crs: str | None = None) -> Iterator[dict]:
+                 override_crs: str | None = None,
+                 meta: dict | None = None) -> Iterator[dict]:
     """Yield blocks-schema dicts (block_x=block_y=0, per-block translated
     geo_transform) for every tile/strip of a GeoTIFF buffer; edge blocks
     are cropped to the true image extent (TIFF pads them).
@@ -451,7 +517,8 @@ def split_blocks(buf: bytes, ensure_alpha: bool = True,
     an EXTERNAL grid (a VRT mosaic): georeferencing comes from the given
     transform at pixel offset origin_px instead of the file's own geo
     tags (which may be absent — gdalbuildvrt sources often carry none)."""
-    meta = geotiff_meta(buf, require_geo=override_gt is None)
+    if meta is None:
+        meta = geotiff_meta(buf, require_geo=override_gt is None)
     nb = meta["bands"]
     gt = override_gt if override_gt is not None else meta["geo_transform"]
     crs = override_crs if override_crs is not None else meta["crs"]
@@ -493,17 +560,29 @@ _BLOCKS_SCHEMA = (
 
 
 def geotiff_blocks(
-    spark: SparkSession, path: str, ensure_alpha: bool = True
+    spark: SparkSession, path: str, ensure_alpha: bool = True,
+    max_pixel_size: float | None = None,
 ) -> DataFrame:
     """Read GeoTIFF file(s) at ``path`` (a file, dir, or glob) into the
     engine's blocks schema: binaryFile scan -> executor-side numpy split.
-    One task per file; a MOSAIC of files is the parallel 100-TB shape."""
+    One task per file; a MOSAIC of files is the parallel 100-TB shape.
+
+    ``max_pixel_size`` (model units/pixel, e.g. WebMercator meters of the
+    deepest requested zoom) enables COG overview selection: each file
+    decodes its COARSEST reduced-resolution IFD that still resolves the
+    target — tiling z<=10 from a z19-resolution archive then reads ~1/4^9
+    of the bytes."""
 
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                rows.extend(split_blocks(bytes(content), ensure_alpha))
+                buf = bytes(content)
+                meta = None
+                if max_pixel_size is not None:
+                    meta = select_overview(
+                        geotiff_overviews(buf), max_pixel_size)
+                rows.extend(split_blocks(buf, ensure_alpha, meta=meta))
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -533,13 +612,16 @@ def write_geotiff(
     predictor: int = 1,
     bigtiff: bool = False,
     model_transform: bool = False,
+    overviews: list[int] | None = None,
 ) -> None:
     """Write (H, W, bands) u8 as a little-endian GeoTIFF.  ``bigtiff``
     emits the BigTIFF container (magic 43, 8-byte offsets — required
     past 4 GB; here it exercises the reader's BigTIFF path).
     ``model_transform`` georeferences via ModelTransformationTag instead
     of PixelScale+Tiepoint and is REQUIRED for rotated/sheared
-    geo-transforms (PixelScale cannot express them)."""
+    geo-transforms (PixelScale cannot express them).  ``overviews``
+    (e.g. [2, 4, 8]) appends COG-style reduced-resolution IFDs
+    (NewSubfileType=1, box-averaged) to the chain."""
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, nb = img.shape
@@ -568,123 +650,149 @@ def write_geotiff(
             )
         return raw
 
-    blocks: list[bytes] = []
-    if tile is not None:
-        tw, th = tile
-        if tw % 16 or th % 16:
-            raise GeoTiffError("TIFF tile dims must be multiples of 16")
-        for ty in range((H + th - 1) // th):
-            for tx in range((W + tw - 1) // tw):
-                pad = np.zeros((th, tw, nb), np.uint8)
-                sub = img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
-                pad[:sub.shape[0], :sub.shape[1]] = sub
-                blocks.append(_pack_block(pad))
-    else:
-        rps = rows_per_strip or H
-        for sy in range((H + rps - 1) // rps):
-            blocks.append(_pack_block(img[sy * rps:(sy + 1) * rps]))
+    def _blocks_for(im: np.ndarray) -> list[bytes]:
+        h, w, _ = im.shape
+        bl: list[bytes] = []
+        if tile is not None:
+            tw, th = tile
+            if tw % 16 or th % 16:
+                raise GeoTiffError("TIFF tile dims must be multiples of 16")
+            for ty in range((h + th - 1) // th):
+                for tx in range((w + tw - 1) // tw):
+                    pad = np.zeros((th, tw, nb), np.uint8)
+                    sub = im[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                    pad[:sub.shape[0], :sub.shape[1]] = sub
+                    bl.append(_pack_block(pad))
+        else:
+            rps = rows_per_strip or h
+            for sy in range((h + rps - 1) // rps):
+                bl.append(_pack_block(im[sy * rps:(sy + 1) * rps]))
+        return bl
 
-    geokeys = [1, 1, 1, 2,
-               1024, 0, 1, 1,      # GTModelType = projected
-               3072, 0, 1, epsg]   # ProjectedCSType
+    def _box_down(im: np.ndarray, f: int) -> np.ndarray:
+        h, w, _ = im.shape
+        ch, cw = (h // f) * f, (w // f) * f
+        c = im[:ch, :cw].astype(np.uint32)
+        c = c.reshape(ch // f, f, cw // f, f, nb)
+        return ((c.sum(axis=(1, 3)) + f * f // 2) // (f * f)).astype(np.uint8)
 
-    entries: list[tuple[int, int, tuple]] = [
-        (_T_WIDTH, 4, (W,)), (_T_HEIGHT, 4, (H,)),
-        (_T_BITS, 3, (8,) * nb), (_T_COMPRESSION, 3, (comp_id,)),
-        (_T_PHOTOMETRIC, 3, (2 if nb >= 3 else 1,)),
-        (_T_SPP, 3, (nb,)), (_T_PLANAR, 3, (1,)),
-        (_T_PREDICTOR, 3, (predictor,)),
-        (_T_GEOKEYS, 3, tuple(geokeys)),
-    ]
-    if gt is None:
-        entries.remove((_T_GEOKEYS, 3, tuple(geokeys)))
-    elif model_transform:
-        xf = (gt[1], gt[2], 0.0, gt[0],
-              gt[4], gt[5], 0.0, gt[3],
-              0.0, 0.0, 0.0, 0.0,
-              0.0, 0.0, 0.0, 1.0)
-        entries.append((_T_MODEL_TRANSFORM, 12, xf))
-    else:
-        entries += [
-            (_T_PIXEL_SCALE, 12, (gt[1], -gt[5], 0.0)),
-            (_T_TIEPOINT, 12, (0.0, 0.0, 0.0, gt[0], gt[3], 0.0)),
+    def _entries_for(im: np.ndarray, with_geo: bool,
+                     is_overview: bool, blocks: list[bytes]):
+        h, w, _ = im.shape
+        geokeys = [1, 1, 1, 2,
+                   1024, 0, 1, 1,      # GTModelType = projected
+                   3072, 0, 1, epsg]   # ProjectedCSType
+        ents: list[tuple[int, int, tuple]] = [
+            (_T_WIDTH, 4, (w,)), (_T_HEIGHT, 4, (h,)),
+            (_T_BITS, 3, (8,) * nb), (_T_COMPRESSION, 3, (comp_id,)),
+            (_T_PHOTOMETRIC, 3, (2 if nb >= 3 else 1,)),
+            (_T_SPP, 3, (nb,)), (_T_PLANAR, 3, (1,)),
+            (_T_PREDICTOR, 3, (predictor,)),
         ]
-    if tile is not None:
-        entries += [
-            (_T_TILE_W, 4, (tile[0],)), (_T_TILE_H, 4, (tile[1],)),
-            (_T_TILE_OFFSETS, 4, tuple(0 for _ in blocks)),
-            (_T_TILE_COUNTS, 4, tuple(len(b) for b in blocks)),
-        ]
-    else:
-        rps = rows_per_strip or H
-        entries += [
-            (_T_STRIP_OFFSETS, 4, tuple(0 for _ in blocks)),
-            (_T_ROWS_PER_STRIP, 4, (rps,)),
-            (_T_STRIP_COUNTS, 4, tuple(len(b) for b in blocks)),
-        ]
+        if is_overview:
+            ents.append((254, 4, (1,)))  # NewSubfileType: reduced-resolution
+        if with_geo:
+            ents.append((_T_GEOKEYS, 3, tuple(geokeys)))
+            if model_transform:
+                xf = (gt[1], gt[2], 0.0, gt[0],
+                      gt[4], gt[5], 0.0, gt[3],
+                      0.0, 0.0, 0.0, 0.0,
+                      0.0, 0.0, 0.0, 1.0)
+                ents.append((_T_MODEL_TRANSFORM, 12, xf))
+            else:
+                ents += [
+                    (_T_PIXEL_SCALE, 12, (gt[1], -gt[5], 0.0)),
+                    (_T_TIEPOINT, 12, (0.0, 0.0, 0.0, gt[0], gt[3], 0.0)),
+                ]
+        if tile is not None:
+            ents += [
+                (_T_TILE_W, 4, (tile[0],)), (_T_TILE_H, 4, (tile[1],)),
+                (_T_TILE_OFFSETS, 4, tuple(0 for _ in blocks)),
+                (_T_TILE_COUNTS, 4, tuple(len(b) for b in blocks)),
+            ]
+        else:
+            ents += [
+                (_T_STRIP_OFFSETS, 4, tuple(0 for _ in blocks)),
+                (_T_ROWS_PER_STRIP, 4, (rows_per_strip or h,)),
+                (_T_STRIP_COUNTS, 4, tuple(len(b) for b in blocks)),
+            ]
+        if bigtiff:
+            # offsets/counts carry LONG8 (type 16): the whole point of
+            # the container is block data past the 4 GB line
+            _long8 = {_T_TILE_OFFSETS, _T_TILE_COUNTS,
+                      _T_STRIP_OFFSETS, _T_STRIP_COUNTS}
+            ents = [(tag, 16 if tag in _long8 else typ, vals)
+                    for tag, typ, vals in ents]
+        ents.sort(key=lambda x: x[0])
+        return ents
+
+    # levels: full resolution (+ geo) then each overview factor
+    level_imgs = [(img, True, False)]
+    for f in overviews or []:
+        level_imgs.append((_box_down(img, f), False, True))
+    segs = []
+    for im, with_geo, is_ov in level_imgs:
+        blocks = _blocks_for(im)
+        segs.append((_entries_for(im, with_geo and gt is not None,
+                                  is_ov, blocks), blocks))
+
+    # container layout: header | seg0 | seg1 | ... where each segment is
+    # IFD | out-of-line values | block data; next-IFD pointers chain.
     if bigtiff:
-        # offsets/counts carry LONG8 (type 16): the whole point of the
-        # container is block data past the 4 GB line
-        _long8 = {_T_TILE_OFFSETS, _T_TILE_COUNTS,
-                  _T_STRIP_OFFSETS, _T_STRIP_COUNTS}
-        entries = [(tag, 16 if tag in _long8 else typ, vals)
-                   for tag, typ, vals in entries]
-    entries.sort(key=lambda x: x[0])
-
-    # layout: header | IFD | out-of-line values | block data.
-    # classic: 8-byte header, 12-byte entries, 4-byte inline values;
-    # BigTIFF: 16-byte header, 20-byte entries, 8-byte inline values.
-    if bigtiff:
-        ifd_off, inline, cnt_fmt = 16, 8, "Q"
-        ifd_size = 8 + 20 * len(entries) + 8
-        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
-        n_pack = struct.pack("<Q", len(entries))
-        next_ptr = struct.pack("<Q", 0)
+        hdr_size, inline, cnt_fmt = 16, 8, "Q"
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, hdr_size)
     else:
-        ifd_off, inline, cnt_fmt = 8, 4, "I"
-        ifd_size = 2 + 12 * len(entries) + 4
-        header = struct.pack("<2sHI", b"II", 42, ifd_off)
-        n_pack = struct.pack("<H", len(entries))
-        next_ptr = struct.pack("<I", 0)
-    val_off = ifd_off + ifd_size
-    overflow: list[bytes] = []
-    packed: list[bytes] = []
-    # first pass: compute where out-of-line values land; block data offsets
-    # need the total, so pack offsets last
-    sizes = []
-    for tag, typ, vals in entries:
-        size = _TYPE_SIZE[typ] * len(vals)
-        sizes.append(size)
-    total_overflow = sum(s for s in sizes if s > inline)
-    data_off = val_off + total_overflow
+        hdr_size, inline, cnt_fmt = 8, 4, "I"
+        header = struct.pack("<2sHI", b"II", 42, hdr_size)
+
+    def _seg_size(entries, blocks):
+        ifd = (8 + 20 * len(entries) + 8) if bigtiff \
+            else (2 + 12 * len(entries) + 4)
+        over = sum(s for s in (_TYPE_SIZE[t] * len(v)
+                               for _, t, v in entries) if s > inline)
+        return ifd + over + sum(len(b) for b in blocks)
+
+    starts = [hdr_size]
+    for entries, blocks in segs[:-1]:
+        starts.append(starts[-1] + _seg_size(entries, blocks))
+
     offsets_tag = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
-    block_offsets = []
-    o = data_off
-    for b in blocks:
-        block_offsets.append(o)
-        o += len(b)
-    cur = val_off
-    for (tag, typ, vals), size in zip(entries, sizes):
-        if tag == offsets_tag:
-            vals = tuple(block_offsets)
-        if typ == 12:
-            raw = struct.pack("<" + "d" * len(vals), *vals)
-        else:
-            raw = struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals)
-        head = struct.pack("<HH" + cnt_fmt, tag, typ, len(vals))
-        if size <= inline:
-            packed.append(head + raw.ljust(inline, b"\0"))
-        else:
-            packed.append(head + struct.pack("<" + cnt_fmt, cur))
-            overflow.append(raw)
-            cur += size
-    out = bytearray()
-    out += header
-    out += n_pack
-    out += b"".join(packed)
-    out += next_ptr
-    out += b"".join(overflow)
-    for b in blocks:
-        out += b
+    out = bytearray(header)
+    for si, (entries, blocks) in enumerate(segs):
+        seg_start = starts[si]
+        ifd_size = (8 + 20 * len(entries) + 8) if bigtiff \
+            else (2 + 12 * len(entries) + 4)
+        val_off = seg_start + ifd_size
+        sizes = [_TYPE_SIZE[t] * len(v) for _, t, v in entries]
+        data_off = val_off + sum(s for s in sizes if s > inline)
+        block_offsets = []
+        o = data_off
+        for b in blocks:
+            block_offsets.append(o)
+            o += len(b)
+        next_ifd = starts[si + 1] if si + 1 < len(segs) else 0
+        packed: list[bytes] = []
+        overflow: list[bytes] = []
+        cur = val_off
+        for (tag, typ, vals), size in zip(entries, sizes):
+            if tag == offsets_tag:
+                vals = tuple(block_offsets)
+            if typ == 12:
+                raw = struct.pack("<" + "d" * len(vals), *vals)
+            else:
+                raw = struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals)
+            head = struct.pack("<HH" + cnt_fmt, tag, typ, len(vals))
+            if size <= inline:
+                packed.append(head + raw.ljust(inline, b"\0"))
+            else:
+                packed.append(head + struct.pack("<" + cnt_fmt, cur))
+                overflow.append(raw)
+                cur += size
+        out += struct.pack("<Q" if bigtiff else "<H", len(entries))
+        out += b"".join(packed)
+        out += struct.pack("<" + cnt_fmt, next_ifd)
+        out += b"".join(overflow)
+        for b in blocks:
+            out += b
     with open(path, "wb") as fh:
         fh.write(bytes(out))

@@ -86,8 +86,12 @@ def parse_vrt(path: str) -> dict:
 
     per_file: dict[tuple, dict] = {}
     alpha = None
+    nodata: dict[int, int] = {}
     for band in root.findall("VRTRasterBand"):
         bno = int(band.get("band"))
+        nd_el = band.find("NoDataValue")
+        if nd_el is not None and nd_el.text and nd_el.text.strip():
+            nodata[bno] = int(float(nd_el.text))
         interp = getattr(band.find("ColorInterp"), "text", "") or ""
         for src in list(band.findall("SimpleSource")) \
                 + list(band.findall("ComplexSource")):
@@ -127,7 +131,7 @@ def parse_vrt(path: str) -> dict:
         files.append(ent)
     files.sort(key=lambda e: (e["dst"][1], e["dst"][0], e["path"]))
     return {"gt": gt, "crs": crs, "width": W, "height": H,
-            "files": files, "alpha": alpha}
+            "files": files, "alpha": alpha, "nodata": nodata}
 
 
 _BLOCKS_SCHEMA = GT._BLOCKS_SCHEMA
@@ -141,6 +145,7 @@ def vrt_blocks(
     meta = parse_vrt(path)
     gt, crs = meta["gt"], meta["crs"]
     alpha = meta["alpha"]
+    nodata = meta["nodata"]  # {vrt_band -> value} from <NoDataValue>
     rows = [
         (e["path"], *e["dst"], *e["src"])
         for e in meta["files"]
@@ -205,6 +210,10 @@ def vrt_blocks(
                             np.concatenate([a, op], axis=2)).tobytes()
                         blk["bands"] += 1
                         blk["nodata"] = blk["nodata"] + [None]
+                    if nodata:
+                        blk["nodata"] = [
+                            nodata.get(b + 1) for b in range(blk["bands"])
+                        ]
                     out.append(blk)
             if out:
                 yield pd.DataFrame(out)

@@ -218,6 +218,50 @@ def test_lzw_packbits_corrupt_streams_raise():
         _packbits_decode(b"\x05abc", 10)  # literal run cut off
 
 
+def test_cog_overviews_roundtrip_and_selection(spark):
+    """COG-style reduced-resolution IFD chain: the writer appends
+    box-averaged overview levels (NewSubfileType=1), the reader walks the
+    chain, derives each level's geo_transform by the size ratio, selects
+    the coarsest level that still resolves a target pixel size, and the
+    Spark ingestion path decodes THAT level."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (200, 176, 3), np.uint8)
+    g = [1000.0, 10.0, 0.0, 5000.0, 0.0, -10.0]
+    tmp = tempfile.mkdtemp(prefix="cog_")
+    try:
+        p = os.path.join(tmp, "cog.tif")
+        geotiff.write_geotiff(p, img, g, epsg=3857, tile=(64, 64),
+                              compression="deflate", overviews=[2, 4])
+        buf = open(p, "rb").read()
+        metas = geotiff.geotiff_overviews(buf)
+        assert [m["width"] for m in metas] == [176, 88, 44]
+        # level geo scales by the size ratio
+        assert abs(metas[1]["geo_transform"][1] - 20.0) < 1e-9
+        # full-res pixels exact; overview pixels equal the box-mean oracle
+        assert np.array_equal(
+            geotiff.read_region(buf, 0, 0, 176, 200, metas[0]), img)
+        f = 4
+        m = metas[2]
+        c = img[:200 // f * f, :176 // f * f].astype(np.uint32)
+        c = c.reshape(200 // f, f, 176 // f, f, 3)
+        exp = ((c.sum(axis=(1, 3)) + f * f // 2) // (f * f)).astype(np.uint8)
+        assert np.array_equal(
+            geotiff.read_region(buf, 0, 0, m["width"], m["height"], m), exp)
+        # selection semantics
+        assert geotiff.select_overview(metas, 45.0) is metas[2]
+        assert geotiff.select_overview(metas, 25.0) is metas[1]
+        assert geotiff.select_overview(metas, 9.0) is metas[0]
+        # Spark path: max_pixel_size picks the overview (4x fewer pixels
+        # per axis -> the 44x50 level, still RGBA after ensure_alpha)
+        rows = geotiff.geotiff_blocks(spark, p, max_pixel_size=45.0).collect()
+        assert sum(r.width * r.height for r in rows) == 44 * 50
+        assert all(abs(r.geo_transform[1] - 40.0) < 1e-9 for r in rows)
+        full = geotiff.geotiff_blocks(spark, p).collect()
+        assert sum(r.width * r.height for r in full) == 176 * 200
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_read_ifd_tolerates_sbyte_and_undefined_tags():
     """Type 6 (SBYTE) decodes; type 7 (UNDEFINED — ICC/EXIF/Photoshop
     blobs that GDAL output routinely carries) is kept as opaque bytes

@@ -106,6 +106,30 @@ def test_vrt_mosaic_with_mask_band(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_vrt_nodata_values_carry_into_blocks(spark):
+    """gdalbuildvrt emits <NoDataValue> per band when sources declare
+    nodata; the value must land in the blocks schema's nodata column so
+    mask_nodata (P3) applies downstream."""
+    tmp = tempfile.mkdtemp(prefix="vrt_nd_")
+    try:
+        path = _write_vrt(tmp, with_mask=False)
+        xml = open(path).read()
+        xml = xml.replace(
+            '<VRTRasterBand dataType="Byte" band="1">',
+            '<VRTRasterBand dataType="Byte" band="1">'
+            "<NoDataValue>0</NoDataValue>", 1)
+        xml = xml.replace(
+            '<VRTRasterBand dataType="Byte" band="3">',
+            '<VRTRasterBand dataType="Byte" band="3">'
+            "<NoDataValue>17</NoDataValue>", 1)
+        with open(path, "w") as fh:
+            fh.write(xml)
+        r = vrt.vrt_blocks(spark, path).first()
+        assert list(r.nodata) == [0, None, 17, None]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_vrt_without_mask_gets_opaque_alpha(spark):
     tmp = tempfile.mkdtemp(prefix="vrt_")
     try:
