@@ -198,9 +198,10 @@ def geotiff_meta(buf: bytes, require_geo: bool = True,
     if t.get(_T_PLANAR, (1,))[0] != 1:
         raise GeoTiffError("only PlanarConfiguration=1 (chunky) supported")
     comp = t.get(_T_COMPRESSION, (1,))[0]
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 5, 7, 8, 32946, 32773):
         raise GeoTiffError(
-            f"unsupported Compression={comp} (none/LZW/Deflate/PackBits only)"
+            f"unsupported Compression={comp} "
+            f"(none/LZW/JPEG/Deflate/PackBits only)"
         )
     pred = t.get(_T_PREDICTOR, (1,))[0]
     if pred not in (1, 2):
@@ -249,6 +250,8 @@ def geotiff_meta(buf: bytes, require_geo: bool = True,
     return {
         "width": int(width), "height": int(height), "bands": int(spp),
         "compression": int(comp), "predictor": int(pred), "layout": layout,
+        # tag 347 (JPEGTables): shared quant/huffman tables for comp=7
+        "jpeg_tables": t.get(347, (None,))[0],
         "geo_transform": gt,
         "crs": _crs_from_geokeys(t.get(_T_GEOKEYS, ())),
     }
@@ -406,6 +409,30 @@ def _decode_block(buf: bytes, off: int, cnt: int, meta: dict,
                   h: int, w: int) -> np.ndarray:
     """One tile/strip payload -> (h, w, bands) u8 (h/w = PADDED size)."""
     raw = buf[off:off + cnt]
+    if meta["compression"] == 7:
+        # JPEG-in-TIFF (TTN2): each tile/strip is an (often abbreviated)
+        # baseline JPEG stream; tag 347 carries the shared tables as
+        # SOI..EOI — splice its body after the tile's SOI.  The real
+        # orthophoto delivery format (YCbCr photometric; our decoder
+        # returns RGB, which is the blocks-table convention).
+        from freemap_tiler_spark.functions import jpeg as _jpeg
+
+        tables = meta.get("jpeg_tables")
+        stream = raw
+        if tables and len(tables) > 4 and raw[:2] == b"\xff\xd8":
+            stream = b"\xff\xd8" + bytes(tables)[2:-2] + raw[2:]
+        arr = _jpeg.decode(stream)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[0] < h or arr.shape[1] < w:
+            raise GeoTiffError(
+                f"JPEG tile {arr.shape[:2]} smaller than layout ({h}, {w})"
+            )
+        if arr.shape[2] != meta["bands"]:
+            raise GeoTiffError(
+                f"JPEG band count {arr.shape[2]} != SPP {meta['bands']}"
+            )
+        return np.ascontiguousarray(arr[:h, :w])
     if meta["compression"] in (8, 32946):
         raw = zlib.decompress(raw)
     elif meta["compression"] == 5:
@@ -632,9 +659,17 @@ def write_geotiff(
             "rotated transforms need model_transform=True "
             "(PixelScale+Tiepoint is axis-aligned only)"
         )
-    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8,
+               "packbits": 32773}[compression]
+    if comp_id == 7 and (predictor != 1 or nb not in (1, 3)):
+        raise GeoTiffError("jpeg compression: predictor 1, 1 or 3 bands")
 
     def _pack_block(a: np.ndarray) -> bytes:
+        if comp_id == 7:
+            from freemap_tiler_spark.functions import jpeg as _jpeg
+
+            im = a[:, :, 0] if nb == 1 else a
+            return _jpeg.encode(im, quality=90)  # self-contained stream
         if predictor == 2:
             a = _apply_predictor2(a)
         raw = a.tobytes()

@@ -205,6 +205,50 @@ def test_decode_imageio_compressed_tiff(name, comp):
     assert np.array_equal(img[..., :3], _imageio_ramp(W, H))
 
 
+def test_jpeg_in_tiff_decode_matches_imageio():
+    """Compression=7 (JPEG-in-TIFF, the dominant real orthophoto delivery
+    form: YCbCr tiles/strips, optional shared JPEGTables): our decode of
+    ImageIO's JPEG TIFF must match ImageIO's OWN decode of the same file
+    within chroma-rounding tolerance (fixtures: GenTiffLzwFixtures.java
+    write/read JPEG)."""
+    buf = open(os.path.join(HERE, "fixtures", "imageio_jpeg.tif"),
+               "rb").read()
+    t = geotiff._read_ifd(buf)
+    assert t[259][0] == 7 and t[262][0] == 6  # JPEG + YCbCr
+    m = geotiff.geotiff_meta(buf, require_geo=False)
+    ours = geotiff.read_region(buf, 0, 0, m["width"], m["height"], m)
+    theirs = np.frombuffer(
+        open(os.path.join(HERE, "fixtures", "imageio_jpeg.rgb"),
+             "rb").read(), np.uint8,
+    ).reshape(90, 150, 4)[:, :, :3]
+    d = np.abs(ours.astype(int) - theirs.astype(int))
+    assert d.max() <= 3 and d.mean() < 1.0
+
+
+def test_jpeg_in_tiff_writer_roundtrip(spark):
+    """Our own jpeg-compressed GeoTIFF roundtrips through the Spark
+    ingestion path within lossy tolerance; geo carries exactly."""
+    img = _law_image()[:100, :90, :3]
+    tmp = tempfile.mkdtemp(prefix="gtif_jpg_")
+    try:
+        p = os.path.join(tmp, "q.tif")
+        geotiff.write_geotiff(p, img, GT, epsg=3857, tile=(64, 64),
+                              compression="jpeg")
+        rows = geotiff.geotiff_blocks(spark, p).collect()
+        got = np.zeros((100, 90, 4), np.uint8)
+        for r in rows:
+            px0 = round((r.geo_transform[0] - GT[0]) / GT[1])
+            py0 = round((r.geo_transform[3] - GT[3]) / GT[5])
+            a = np.frombuffer(bytes(r.data), np.uint8).reshape(
+                r.height, r.width, r.bands)
+            got[py0:py0 + r.height, px0:px0 + r.width] = a
+        assert (got[:, :, 3] == 255).all()
+        d = np.abs(got[:, :, :3].astype(int) - img.astype(int))
+        assert d.mean() < 4.0 and d.max() <= 70, (d.mean(), d.max())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_lzw_packbits_corrupt_streams_raise():
     from freemap_tiler_spark.sources.geotiff import (
         GeoTiffError, _lzw_decode, _lzw_encode, _packbits_decode)
