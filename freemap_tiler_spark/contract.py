@@ -2430,13 +2430,26 @@ ORDER BY r.lang
 """
 
 
+def q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity scoring (Wenzek et al. 2020): a bigram
+    LM with add-k smoothing trains ON the corpus (two map-side-combined
+    count shuffles), then every doc's cross-entropy in nats is an
+    explode + two LEFT joins + avg.  Exact-arithmetic twin in DuckDB."""
+    from freemap_tiler_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = lm.train_bigram_lm(docs)
+    return lm.doc_log_perplexity(docs, model)
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis compound: token counting ∪ language-ID ∪ quality
     scoring ∪ repetition metrics ∪ PII scrubbing ∪ URL dedup ∪
     duplicate-span substring dedup ∪ ExactSubstr scrub ∪ domain-mixture
     sampling (down-sample + epoch-upsample variants) ∪ test-set
-    contamination ∪ sequence packing over `documents` (src-tagged; covers
-    the twelve text-pipeline operators in one registry row)."""
+    contamination ∪ sequence packing ∪ LM perplexity over `documents`
+    (src-tagged; covers the thirteen text-pipeline operators in one
+    registry row)."""
     t = q_token_count(spark, sf_dir).select(
         F.lit("tok").alias("src"), F.col("lang").alias("skey"),
         F.col("docs").cast("bigint").alias("ikey"),
@@ -2521,10 +2534,55 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_in").cast("bigint").alias("c1"),
         F.col("max_epoch").cast("bigint").alias("c2"),
         F.col("rate").alias("q1"), F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
+    # c2 = -2: leg-unique integer so a cross-leg sort tie can never fall
+    # through to the float log_ppl (same flake class as the mix leg)
+    pl = q_lm_ppl(spark, sf_dir).select(
+        F.lit("ppl").alias("src"), F.lit("").alias("skey"),
+        F.col("doc_id").cast("bigint").alias("ikey"),
+        F.col("n_bigrams").cast("bigint").alias("c1"),
+        F.lit(-2).cast("bigint").alias("c2"),
+        F.col("log_ppl").alias("q1"),
+        F.lit(0.0).alias("q2"), F.lit(0.0).alias("q3"))
     return (t.unionByName(l).unionByName(q).unionByName(r).unionByName(p)
             .unionByName(u).unionByName(s).unionByName(sc).unionByName(m)
             .unionByName(ct).unionByName(pk).unionByName(mu)
+            .unionByName(pl)
             .orderBy("src", "skey", "ikey"))
+
+
+def _sql_lm_ppl() -> str:
+    """DuckDB replay of q_lm_ppl with identical arithmetic: same
+    tokenizer (lowercase alpha runs), same add-0.5 smoothing, same
+    log-domain averaging."""
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM toks, UNNEST(range(1, len(toks))) AS u(i)
+),
+pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT UNNEST(toks) AS w FROM toks)
+),
+scored AS (
+  SELECT bg.doc_id,
+         ln((COALESCE(pair.c12, 0) + 0.5)
+            / (COALESCE(ctx.c1, 0) + 0.5 * vocab.v)) AS lp
+  FROM bg
+  LEFT JOIN pair ON bg.w1 = pair.w1 AND bg.w2 = pair.w2
+  LEFT JOIN ctx ON bg.w1 = ctx.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, -AVG(lp) AS log_ppl
+FROM scored GROUP BY doc_id
+"""
 
 
 def _sql_text_metrics() -> str:
@@ -2590,6 +2648,11 @@ SELECT * FROM (
          CAST(n_in AS BIGINT) AS c1, CAST(max_epoch AS BIGINT) AS c2,
          rate AS q1, 0.0 AS q2, 0.0 AS q3
   FROM ({_sql_mix_epochs()}) mu
+  UNION ALL
+  SELECT 'ppl' AS src, '' AS skey, CAST(doc_id AS BIGINT) AS ikey,
+         CAST(n_bigrams AS BIGINT) AS c1, CAST(-2 AS BIGINT) AS c2,
+         log_ppl AS q1, 0.0 AS q2, 0.0 AS q3
+  FROM ({_sql_lm_ppl()}) pl
 ) ORDER BY src, skey, ikey
 """
 

@@ -171,3 +171,31 @@ def test_domain_mix_epochs_upsamples_cold_domain(spark):
     m = mixing.domain_mix_epochs(df, alpha=0.5)
     per_doc = m.where("source = 'books'").groupBy("doc_id").count().collect()
     assert all(r["count"] in (2, 3) for r in per_doc)
+
+
+def test_lm_perplexity_filter(spark):
+    """CCNet-style LM filtering: a doc made of corpus-frequent bigrams
+    scores LOWER cross-entropy than shuffled gibberish over the same
+    vocabulary; the filter keeps exactly the below-threshold docs; and
+    scores are invariant to repartitioning."""
+    from freemap_tiler_spark.operators import lm
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, natural) for i in range(8)]
+    rows.append((100, "rug the on mat dog and cat sat the on the"))  # shuffled
+    rows.append((101, "qq zz xx vv kk jj ww yy"))                    # gibberish
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = lm.train_bigram_lm(docs)
+    ppl = {r.doc_id: r.log_ppl
+           for r in lm.doc_log_perplexity(docs, model).collect()}
+    assert ppl[0] < min(ppl[100], ppl[101])  # natural < both junk docs
+    thr = (ppl[0] + min(ppl[100], ppl[101])) / 2
+    kept = {r.doc_id for r in
+            lm.perplexity_filter(docs, model, thr).select("doc_id").collect()}
+    assert kept == set(range(8))
+    ppl2 = {r.doc_id: r.log_ppl
+            for r in lm.doc_log_perplexity(
+                docs.repartition(7), lm.train_bigram_lm(docs.repartition(5))
+            ).collect()}
+    import math
+    assert all(math.isclose(ppl[k], ppl2[k], abs_tol=1e-9) for k in ppl)
