@@ -199,3 +199,55 @@ def test_lm_perplexity_filter(spark):
             ).collect()}
     import math
     assert all(math.isclose(ppl[k], ppl2[k], abs_tol=1e-9) for k in ppl)
+
+
+def test_quality_classifier_pareto_filter(spark):
+    """GPT-3-style model-based quality filter: a linear classifier
+    trained on a clean-vs-noisy split must separate held-out docs
+    (AUC-like ordering), the Pareto keep rule must be a deterministic
+    pure function of (doc_id, alpha), and high scores must always keep
+    while low scores keep only at the documented long-tail rate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from freemap_tiler_spark.operators import quality_model as QM
+
+    rng = np.random.RandomState(11)
+    clean_words = ["the", "science", "of", "language", "models", "requires",
+                   "careful", "data", "curation", "and", "evaluation"]
+    noise_words = ["zxq", "qqw", "kpl", "vvx", "mmz", "rrt", "hhj", "bbn"]
+
+    def doc(words, n=30):
+        return " ".join(rng.choice(words, n))
+
+    pos = spark.createDataFrame(
+        [(i, doc(clean_words)) for i in range(40)], "doc_id long, text string")
+    neg = spark.createDataFrame(
+        [(i, doc(noise_words)) for i in range(40)], "doc_id long, text string")
+    model = QM.train_quality_classifier(pos, neg)
+
+    held = spark.createDataFrame(
+        [(i, doc(clean_words)) for i in range(200)]
+        + [(1000 + i, doc(noise_words)) for i in range(200)],
+        "doc_id long, text string")
+    sc = {r.doc_id: r.quality_score
+          for r in QM.score_quality(held, model).collect()}
+    clean_scores = [sc[i] for i in range(200)]
+    noise_scores = [sc[1000 + i] for i in range(200)]
+    assert min(clean_scores) > max(noise_scores)  # separable by construction
+
+    # Pareto rule: deterministic, and scores >= 1 - (u^-1/a - 1) keep
+    scored = QM.score_quality(held, model)
+    k1 = {r.doc_id for r in QM.pareto_filter(scored).collect()}
+    k2 = {r.doc_id for r in
+          QM.pareto_filter(scored.repartition(7)).collect()}
+    assert k1 == k2
+    # all clean docs keep (score ~1 -> 1 - score ~0 < any Pareto draw);
+    # noise docs keep only at the long-tail rate (< 20% at alpha=9)
+    assert set(range(200)) <= k1
+    noise_kept = len([d for d in k1 if d >= 1000])
+    assert noise_kept < 40
+    # end-to-end corpus filter matches the scored-then-filtered set
+    kept_corpus = {r.doc_id
+                   for r in QM.quality_filter(held, model).collect()}
+    assert kept_corpus == k1
