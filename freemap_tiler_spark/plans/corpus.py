@@ -5,6 +5,7 @@ Composes the engine's text operators into the standard web-corpus recipe
 
     quality filter -> PII redaction -> exact dedup (keep-one)
     -> ExactSubstr span scrub -> post-scrub length filter
+    [-> LM perplexity cut (CCNet)] [-> classifier + Pareto (GPT-3)]
     -> alpha-smoothed domain mixture sample
 
 Every stage is the already-tested declarative operator; this module only
@@ -44,6 +45,10 @@ def clean_corpus(
     max_contamination: float = 0.05,
     contam_n: int = 13,
     persist: bool = False,
+    max_log_ppl: float | None = None,
+    lm_model: dict | None = None,
+    quality_clf=None,
+    clf_alpha: float = 9.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full cleaning recipe; return (clean_df, counters_df).
 
@@ -61,7 +66,12 @@ def clean_corpus(
     input, quality, dedup, decontam (only when ``test_df`` is given:
     drop docs whose ``contam_n``-gram collision fraction against the
     evaluation corpus exceeds ``max_contamination``), scrub, length,
-    mix (absent when ``domain_col`` is None).
+    ppl (only with ``max_log_ppl``: CCNet cut under ``lm_model`` — or a
+    bigram LM trained on the length-stage survivors; docs with < 2
+    alpha tokens drop here, the LM has no evidence for them),
+    classifier (only with ``quality_clf``: GPT-3 score + deterministic
+    Pareto(``clf_alpha``) admission), mix (absent when ``domain_col``
+    is None).
     """
     stages: list[tuple[str, DataFrame]] = [("input", df)]
 
@@ -119,6 +129,20 @@ def clean_corpus(
     stages.append(("length", ln))
 
     out = ln
+    # 5. optional model-based cuts (CCNet perplexity, GPT-3 classifier)
+    if max_log_ppl is not None:
+        from freemap_tiler_spark.operators import lm as lm_mod
+
+        model = lm_model or lm_mod.train_bigram_lm(out, text_col, id_col)
+        out = lm_mod.perplexity_filter(
+            out, model, max_log_ppl, text_col, id_col)
+        stages.append(("ppl", out))
+    if quality_clf is not None:
+        from freemap_tiler_spark.operators import quality_model as qm_mod
+
+        out = qm_mod.quality_filter(
+            out, quality_clf, clf_alpha, text_col, id_col)
+        stages.append(("classifier", out))
     if domain_col is not None:
         out = mixing.domain_mix(
             ln, domain_col, id_col, alpha=mix_alpha, target_rows=mix_target_rows
