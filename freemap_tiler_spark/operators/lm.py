@@ -55,7 +55,9 @@ def train_bigram_lm(
     Two shuffles (both map-side combined) + one distinct count."""
     bg = _bigrams(corpus, text_col, id_col)
     pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # context counts fold from the (already tiny) pair table — identical
+    # values to re-counting the corpus, minus a full tokenize + shuffle
+    ctx = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         corpus.select(F.explode(_tokens(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v")).collect()[0]["v"]

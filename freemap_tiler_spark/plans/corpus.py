@@ -145,7 +145,8 @@ def clean_corpus(
         stages.append(("classifier", out))
     if domain_col is not None:
         out = mixing.domain_mix(
-            ln, domain_col, id_col, alpha=mix_alpha, target_rows=mix_target_rows
+            out, domain_col, id_col, alpha=mix_alpha,
+            target_rows=mix_target_rows,
         ).drop("n_d", "rate")
         stages.append(("mix", out))
 

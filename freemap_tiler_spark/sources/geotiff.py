@@ -459,7 +459,17 @@ def geotiff_overviews(buf: bytes) -> list[dict]:
     metas = [base]
     g = base["geo_transform"]
     for t in chain[1:]:
-        m = geotiff_meta(buf, require_geo=False, tags=t)
+        # only REDUCED-RESOLUTION pages are overviews (NewSubfileType
+        # bit 0, tag 254); internal mask IFDs (bit 2 — routine in GDAL
+        # JPEG COGs, often 1-bit) and unrelated multi-page images are
+        # skipped rather than adopted as pixel sources
+        sub = t.get(254, (0,))[0]
+        if not (sub & 1) or (sub & 4):
+            continue
+        try:
+            m = geotiff_meta(buf, require_geo=False, tags=t)
+        except GeoTiffError:
+            continue  # e.g. an overview of an unsupported layout
         fx = base["width"] / m["width"]
         fy = base["height"] / m["height"]
         m["geo_transform"] = [g[0], g[1] * fx, g[2] * fy,
@@ -474,10 +484,15 @@ def select_overview(metas: list[dict], max_pixel_size: float) -> dict:
     ``max_pixel_size`` (the tiler's target ground resolution) — i.e. the
     cheapest IFD that loses nothing at the requested zoom.  Falls back to
     full resolution when every overview is too coarse."""
+    def pitch(m):
+        g = m["geo_transform"]
+        # column pixel pitch: hypot of BOTH x-column terms, so rotated/
+        # sheared ModelTransformation sources measure true ground step
+        return float(np.hypot(g[1], g[4]))
+
     best = metas[0]
     for m in metas[1:]:
-        px = abs(m["geo_transform"][1])
-        if px <= max_pixel_size and px > abs(best["geo_transform"][1]):
+        if pitch(m) <= max_pixel_size and pitch(m) > pitch(best):
             best = m
     return best
 

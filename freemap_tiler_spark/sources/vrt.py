@@ -123,6 +123,12 @@ def parse_vrt(path: str) -> dict:
     band_sig = None
     for ent in per_file.values():
         ent["bands"].sort()
+        vbands = [vb for vb, _ in ent["bands"]]
+        if vbands != list(range(1, len(vbands) + 1)):
+            raise VrtError(
+                f"member {ent['path']} must source consecutive VRT bands "
+                f"1..n, got {vbands}"
+            )
         sig = [sb for _, sb in ent["bands"]]
         if band_sig is None:
             band_sig = sig
@@ -147,13 +153,14 @@ def vrt_blocks(
     alpha = meta["alpha"]
     nodata = meta["nodata"]  # {vrt_band -> value} from <NoDataValue>
     rows = [
-        (e["path"], *e["dst"], *e["src"])
+        (e["path"], *e["dst"], *e["src"],
+         [sb for _, sb in e["bands"]])
         for e in meta["files"]
     ]
     files_df = spark.createDataFrame(
         rows,
         "path string, dx int, dy int, dw int, dh int, "
-        "sx int, sy int, sw int, sh int",
+        "sx int, sy int, sw int, sh int, sbands array<int>",
     ).repartition(max(len(rows), 1), "path")
 
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,10 +178,27 @@ def vrt_blocks(
                         f"{fm['width']}x{fm['height']}, rect "
                         f"{(r.sx, r.sy, r.sw, r.sh)}"
                     )
+                # SourceBand mapping: identity passes through; anything
+                # else (e.g. a BGR-ordered member, or band 1 of a 3-band
+                # file) selects/reorders decoded channels
+                sbands = [int(b) for b in r.sbands]
+                if max(sbands) > fm["bands"]:
+                    raise VrtError(
+                        f"{r.path}: SourceBand {max(sbands)} beyond the "
+                        f"file's {fm['bands']} bands"
+                    )
+                remap = sbands != list(range(1, fm["bands"] + 1))
                 for blk in GT.split_blocks(
                     buf, ensure_alpha=False, override_gt=gt,
-                    origin_px=(r.dx, r.dy), override_crs=crs,
+                    origin_px=(r.dx, r.dy), override_crs=crs, meta=fm,
                 ):
+                    if remap:
+                        a = np.frombuffer(blk["data"], np.uint8).reshape(
+                            blk["height"], blk["width"], blk["bands"])
+                        a = a[:, :, [b - 1 for b in sbands]]
+                        blk["data"] = np.ascontiguousarray(a).tobytes()
+                        blk["bands"] = len(sbands)
+                        blk["nodata"] = [None] * len(sbands)
                     if alpha is not None:
                         if mask_buf is None:
                             with open(alpha["path"], "rb") as fh:

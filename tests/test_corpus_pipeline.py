@@ -134,3 +134,27 @@ def test_clean_corpus_model_stages(spark):
     ids = {r.doc_id for r in clean.collect()}
     assert 300 not in ids            # cut by ppl and/or classifier
     assert len(ids & set(range(6))) >= 5
+
+
+def test_clean_corpus_model_stages_feed_the_mix(spark):
+    """Regression: with domain_col set, the mixture must sample the
+    MODEL-FILTERED set — docs cut by the perplexity stage must not
+    reappear in the final corpus."""
+    def good(i):
+        return " ".join(
+            f"the quick brown u{i}v{j} fox and the lazy dog w{i}x{j}"
+            for j in range(4))
+
+    rows = [(i, good(i), "en") for i in range(6)]
+    rows.append((300, "zxq qqw kpl vvx mmz rrt hhj bbn zxq qqw kpl", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    clean, counters = clean_corpus(
+        df, min_quality=0.0, min_words=3, span_n=8, domain_col="lang",
+        max_log_ppl=1.0,
+    )
+    c = {r.stage: r.rows for r in counters.collect()}
+    assert list(c) == ["input", "quality", "dedup", "scrub", "length",
+                       "ppl", "mix"]
+    ids = {r.doc_id for r in clean.collect()}
+    assert 300 not in ids
+    assert c["mix"] <= c["ppl"] and len(ids) == c["mix"]

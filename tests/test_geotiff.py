@@ -326,3 +326,42 @@ def test_read_ifd_tolerates_sbyte_and_undefined_tags():
     assert tags[50000] == (b"abc",)
     assert tags[50001] == (-3, 5)
     assert tags[256] == (64,)
+
+
+def test_overview_chain_skips_mask_ifds_and_measures_true_pitch():
+    """Only NewSubfileType bit-0 pages are overviews: a chained IFD
+    retagged as an internal MASK (bit 2 — routine in GDAL JPEG COGs)
+    must be skipped, not adopted as a pixel source; and select_overview
+    must measure the TRUE column pitch (hypot of both x terms) so
+    rotated ModelTransformation sources pick the right level."""
+    import struct
+
+    img = np.zeros((128, 128, 3), np.uint8)
+    g = [0.0, 10.0, 0.0, 0.0, 0.0, -10.0]
+    tmp = tempfile.mkdtemp(prefix="cogmask_")
+    try:
+        p = os.path.join(tmp, "c.tif")
+        geotiff.write_geotiff(p, img, g, epsg=3857, tile=(64, 64),
+                              overviews=[2])
+        buf = bytearray(open(p, "rb").read())
+        assert len(geotiff.geotiff_overviews(bytes(buf))) == 2
+        # retag the overview IFD's NewSubfileType from 1 (reduced) to 4
+        # (mask): entry bytes <HHI I> = (254, 4, 1, value)
+        pat = struct.pack("<HHII", 254, 4, 1, 1)
+        i = bytes(buf).find(pat)
+        assert i > 0
+        buf[i:i + len(pat)] = struct.pack("<HHII", 254, 4, 1, 4)
+        metas = geotiff.geotiff_overviews(bytes(buf))
+        assert len(metas) == 1  # mask page skipped; full-res remains
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # rotated pitch: gt columns (90, 15) have true pitch ~91.2; a naive
+    # gt[1]-only measure would call the 2x level (182.5) "91*2=180<=184"
+    # equally wrongly — assert the hypot rule picks correctly
+    base = {"geo_transform": [0, 90.0, 25.0, 0, 15.0, -90.0]}
+    lvl2 = {"geo_transform": [0, 180.0, 50.0, 0, 30.0, -180.0]}
+    pick = geotiff.select_overview([base, lvl2], max_pixel_size=100.0)
+    assert pick is base          # 182.5 > 100: the 2x level under-resolves
+    pick = geotiff.select_overview([base, lvl2], max_pixel_size=200.0)
+    assert pick is lvl2          # 182.5 <= 200: coarser level suffices

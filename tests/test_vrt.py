@@ -215,3 +215,45 @@ def test_mini_vychod_workflow_epsg8353(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_vrt_source_band_remapping(spark):
+    """A member stored BGR whose VRT bands remap to RGB must come back
+    in VRT band order; a SourceBand beyond the file's band count must
+    raise rather than emit wrong pixels."""
+    img = _law_rgb()
+    tmp = tempfile.mkdtemp(prefix="vrt_remap_")
+    try:
+        geotiff.write_geotiff(os.path.join(tmp, "bgr.tif"),
+                              img[:, :, ::-1], None, tile=(64, 64))
+
+        def band(b, sb):
+            return f"""  <VRTRasterBand dataType="Byte" band="{b}">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">bgr.tif</SourceFilename>
+      <SourceBand>{sb}</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="128" ySize="128" />
+      <DstRect xOff="0" yOff="0" xSize="128" ySize="128" />
+    </SimpleSource>
+  </VRTRasterBand>"""
+
+        gt_txt = ", ".join(str(v) for v in GT)
+        xml = (f'<VRTDataset rasterXSize="128" rasterYSize="128">\n'
+               f"  <SRS>EPSG:3857</SRS>\n"
+               f"  <GeoTransform>{gt_txt}</GeoTransform>\n"
+               + band(1, 3) + "\n" + band(2, 2) + "\n" + band(3, 1)
+               + "\n</VRTDataset>")
+        p = os.path.join(tmp, "remap.vrt")
+        open(p, "w").write(xml)
+        rows = vrt.vrt_blocks(spark, p, ensure_alpha=False).collect()
+        got = _reassemble(rows, GT, 3)
+        assert np.array_equal(got, img)  # BGR file -> RGB mosaic
+
+        bad = xml.replace("<SourceBand>2</SourceBand>",
+                          "<SourceBand>9</SourceBand>")
+        pb = os.path.join(tmp, "bad.vrt")
+        open(pb, "w").write(bad)
+        with pytest.raises(Exception, match="SourceBand 9"):
+            vrt.vrt_blocks(spark, pb, ensure_alpha=False).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
