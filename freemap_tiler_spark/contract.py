@@ -1252,17 +1252,23 @@ def q_warp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binaryFile + numpy splitter (sources/geotiff.py; the reference's
     src/main.rs:80 GDAL-open path).  Both branches must produce the same
     keys and the constant 32px RGBA payload length — the oracle is the
-    cover CTE twice with src tags."""
+    cover CTE once per src tag.  A third leg (r5-cont) ingests the same
+    law pixels through the VRT MOSAIC path (sources/vrt.py: two
+    geo-tag-free member tifs placed by DstRect on the VRT grid — the
+    reference README's gdalbuildvrt input form)."""
     import os
 
     from freemap_tiler_spark.operators import raster_ops
     from freemap_tiler_spark.sources.geotiff import geotiff_blocks
     from freemap_tiler_spark.sources.raster_blocks import raster_blocks
+    from freemap_tiler_spark.sources.vrt import vrt_blocks
 
-    fixture = os.path.join(
+    fixdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tests", "fixtures", "geotiff_law_tiled_deflate_p2.tif",
+        "tests", "fixtures",
     )
+    fixture = os.path.join(fixdir, "geotiff_law_tiled_deflate_p2.tif")
+    vrt_fixture = os.path.join(fixdir, "vrt_law", "mosaic.vrt")
 
     def keys(blocks, src):
         tiles = raster_ops.warp_blocks_to_tiles(blocks, zoom=9, tile_size=32)
@@ -1277,7 +1283,8 @@ def q_warp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = keys(raster_blocks(spark, grid=2, width=64, height=64, bands=4),
                  "synthetic")
     tif = keys(geotiff_blocks(spark, fixture), "geotiff")
-    return synth.unionByName(tif).orderBy("src", "x", "y")
+    vrt = keys(vrt_blocks(spark, vrt_fixture), "vrt")
+    return synth.unionByName(tif).unionByName(vrt).orderBy("src", "x", "y")
 
 
 def q_tile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1856,7 +1863,7 @@ def _sql_warp_tiles() -> str:
     identical extent and pixel law, so identical covers)."""
     return f"""
 WITH {_sql_warp_cover_cte(9)},
-srcs AS (SELECT UNNEST(['geotiff', 'synthetic']) AS src)
+srcs AS (SELECT UNNEST(['geotiff', 'synthetic', 'vrt']) AS src)
 SELECT src, 9::BIGINT AS zoom, x, y, 4096::INT AS payload_bytes
 FROM cover CROSS JOIN srcs ORDER BY src, x, y
 """
