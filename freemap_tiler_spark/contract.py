@@ -157,6 +157,80 @@ SELECT user_id, event_id, ROUND(value, 2) AS value, rank FROM (
 """
 
 
+def q_window_topk_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 compound: the top-k window ∪ an AS-OF JOIN (the time-series
+    operator Spark's built-ins lack — kdb `aj` / DuckDB ASOF JOIN),
+    implemented as the scalable union-and-running-window pattern
+    (operators/asof.py).  Left = every 3rd event; right = events ≡1
+    (mod 3), deduped to one row per (user, ts); each left row reports
+    the matched right event and the time gap.  Column names sort the
+    leg tag before the float gap, so the driver's compare never
+    tie-breaks on a float."""
+    from freemap_tiler_spark.operators.asof import asof_join
+
+    topk = q_window_topk(spark, sf_dir).select(
+        F.lit("topk").alias("src"),
+        F.col("user_id").cast("bigint").alias("k1"),
+        F.col("event_id").cast("bigint").alias("k2"),
+        F.col("rank").cast("bigint").alias("v1"),
+        F.col("value").alias("vq"),
+    )
+    e = load_table(spark, sf_dir, "events")
+    left = e.where(F.col("event_id") % 3 == 0).select("user_id", "event_id", "ts")
+    wdd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        e.where(F.col("event_id") % 3 == 1)
+        .withColumn("_n", F.row_number().over(wdd))
+        .where(F.col("_n") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+    j = asof_join(left, right, "user_id", "ts", ["event_id"])
+    asof = j.select(
+        F.lit("asof").alias("src"),
+        F.col("user_id").cast("bigint").alias("k1"),
+        F.col("event_id").cast("bigint").alias("k2"),
+        F.coalesce(F.col("r_event_id"), F.lit(-1)).cast("bigint").alias("v1"),
+        # gap in seconds from INTEGER microsecond subtraction (one exact
+        # int op + one division — bit-identical to the DuckDB twin's
+        # epoch_us form; subtracting two ~1.7e9 s doubles instead would
+        # carry ~1e-7 of representation noise past the 1e-9 tolerance)
+        F.coalesce(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("r_ts").cast("timestamp")))
+            / F.lit(1_000_000.0),
+            F.lit(-1.0),
+        ).alias("vq"),
+    )
+    return topk.unionByName(asof).orderBy("src", "k1", "k2")
+
+
+SQL_WINDOW_TOPK_ASOF = """
+SELECT * FROM (
+  SELECT 'topk' AS src, CAST(user_id AS BIGINT) AS k1,
+         CAST(event_id AS BIGINT) AS k2, CAST(rank AS BIGINT) AS v1,
+         ROUND(value, 2) AS vq
+  FROM (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rank
+    FROM events) WHERE rank <= 3
+  UNION ALL
+  SELECT 'asof' AS src, CAST(l.user_id AS BIGINT) AS k1,
+         CAST(l.event_id AS BIGINT) AS k2,
+         CAST(COALESCE(r.event_id, -1) AS BIGINT) AS v1,
+         COALESCE((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0, -1.0) AS vq
+  FROM (SELECT user_id, event_id, ts FROM events WHERE event_id % 3 = 0) l
+  ASOF LEFT JOIN (
+    SELECT user_id, event_id, ts FROM (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS _n
+      FROM events WHERE event_id % 3 = 1) WHERE _n = 1) r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+) ORDER BY src, k1, k2
+"""
+
+
 def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-reorder/broadcast shape: order revenue (cents) per nation."""
     c = load_table(spark, sf_dir, "customer")
@@ -2776,7 +2850,7 @@ QUERIES = {
     "limits_fold": q_limits_fold,
     "resume_anti_join": q_resume_anti_join,
     "semi_join_agg": q_semi_join_agg,
-    "window_topk": q_window_topk,
+    "window_topk": q_window_topk_asof,
     "broadcast_join_agg": q_broadcast_join_agg,
     "distinct_union_closure": q_distinct_union_closure,
     "rollup_cube_agg": q_rollup_cube_agg,
@@ -2831,7 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "limits_fold": SQL_LIMITS_FOLD,
         "resume_anti_join": SQL_RESUME_ANTI_JOIN,
         "semi_join_agg": SQL_SEMI_JOIN_AGG,
-        "window_topk": SQL_WINDOW_TOPK,
+        "window_topk": SQL_WINDOW_TOPK_ASOF,
         "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
         "distinct_union_closure": SQL_DISTINCT_UNION_CLOSURE,
         "rollup_cube_agg": SQL_ROLLUP_CUBE_AGG,

@@ -267,3 +267,38 @@ def test_pip_cells_large_layer_shuffle_plan(spark, polys, pts):
         assert got == ref and len(got) > 50
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_asof_join_semantics(spark):
+    """As-of join via union-and-running-window: each left row matches the
+    LATEST right row with ts <= left.ts per key (inclusive at equal ts,
+    the kdb/DuckDB convention), NULL when nothing precedes; verified
+    against a hand-evaluated oracle and invariant to repartitioning."""
+    from datetime import datetime as dt
+
+    from freemap_tiler_spark.operators.asof import asof_join
+
+    L = [(1, 10, dt(2024, 1, 1, 0, 0, 5)),
+         (1, 11, dt(2024, 1, 1, 0, 0, 10)),   # equal-ts tie with right 102
+         (1, 12, dt(2024, 1, 1, 0, 0, 1)),    # before any right row
+         (2, 20, dt(2024, 1, 1, 0, 0, 7)),
+         (3, 30, dt(2024, 1, 1, 0, 0, 9))]    # key with no right rows
+    R = [(1, 101, dt(2024, 1, 1, 0, 0, 3)),
+         (1, 102, dt(2024, 1, 1, 0, 0, 10)),
+         (2, 201, dt(2024, 1, 1, 0, 0, 2)),
+         (2, 202, dt(2024, 1, 1, 0, 0, 6))]
+    left = spark.createDataFrame(L, "user_id long, event_id long, ts timestamp")
+    right = spark.createDataFrame(R, "user_id long, rid long, ts timestamp")
+
+    def run(ldf, rdf):
+        out = asof_join(ldf, rdf, "user_id", "ts", ["rid"])
+        return {r.event_id: (r.r_rid, r.r_ts) for r in out.collect()}
+
+    got = run(left, right)
+    assert got[10][0] == 101      # latest right at/before 00:05 is 00:03
+    assert got[11][0] == 102      # equal ts matches (inclusive)
+    assert got[12] == (None, None)
+    assert got[20][0] == 202
+    assert got[30] == (None, None)
+    assert set(got) == {10, 11, 12, 20, 30}  # left rows preserved exactly
+    assert got == run(left.repartition(5), right.repartition(3))
