@@ -201,7 +201,31 @@ def q_window_topk_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1.0),
         ).alias("vq"),
     )
-    return topk.unionByName(asof).orderBy("src", "k1", "k2")
+    # range-join leg (the brief's other custom-join class): 24 overlapping
+    # value intervals [3i, 3i+5) — the bucketed equi-join counts events
+    # per interval; the DuckDB twin uses the raw inequality join
+    from freemap_tiler_spark.operators.range_join import range_join
+
+    iv = spark.range(24).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 3.0).alias("lo"),
+        (F.col("id") * 3.0 + 5.0).alias("hi"),
+    )
+    rj = (
+        range_join(e.select("event_id", "value"), iv, "value", "lo", "hi",
+                   bucket_width=4.0)
+        .groupBy("interval_id", "lo")
+        .agg(F.count("*").alias("n"))
+    )
+    rng = iv.join(rj, ["interval_id", "lo"], "left").select(
+        F.lit("range").alias("src"),
+        F.col("interval_id").cast("bigint").alias("k1"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("k2"),
+        F.lit(0).cast("bigint").alias("v1"),
+        F.col("lo").alias("vq"),
+    )
+    return (topk.unionByName(asof).unionByName(rng)
+            .orderBy("src", "k1", "k2"))
 
 
 SQL_WINDOW_TOPK_ASOF = """
@@ -227,6 +251,19 @@ SELECT * FROM (
                                 ORDER BY event_id DESC) AS _n
       FROM events WHERE event_id % 3 = 1) WHERE _n = 1) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+  UNION ALL
+  SELECT 'range' AS src, CAST(iv.interval_id AS BIGINT) AS k1,
+         CAST(COALESCE(cnt.n, 0) AS BIGINT) AS k2,
+         CAST(0 AS BIGINT) AS v1, iv.lo AS vq
+  FROM (SELECT i AS interval_id, i * 3.0 AS lo, i * 3.0 + 5.0 AS hi
+        FROM UNNEST(range(0, 24)) AS t(i)) iv
+  LEFT JOIN (
+    SELECT i.interval_id, COUNT(*) AS n
+    FROM (SELECT i AS interval_id, i * 3.0 AS lo, i * 3.0 + 5.0 AS hi
+          FROM UNNEST(range(0, 24)) AS t(i)) i
+    JOIN events e ON e.value >= i.lo AND e.value < i.hi
+    GROUP BY i.interval_id) cnt
+  ON iv.interval_id = cnt.interval_id
 ) ORDER BY src, k1, k2
 """
 

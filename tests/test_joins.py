@@ -302,3 +302,29 @@ def test_asof_join_semantics(spark):
     assert got[30] == (None, None)
     assert set(got) == {10, 11, 12, 20, 30}  # left rows preserved exactly
     assert got == run(left.repartition(5), right.repartition(3))
+
+
+def test_range_join_matches_brute_force(spark):
+    """Bucketed range join == the quadratic inequality join on randomized
+    data (incl. interval edges exactly on bin boundaries), and the plan
+    is a hash equi-join — no BroadcastNestedLoopJoin/CartesianProduct."""
+    import random
+
+    from freemap_tiler_spark.operators.range_join import range_join
+
+    rng = random.Random(5)
+    pts = [(i, round(rng.uniform(0, 100), 6)) for i in range(400)]
+    ivs = [(j, float(j * 4), float(j * 4 + rng.choice([4.0, 6.5, 11.0])))
+           for j in range(25)]  # edges on multiples of the bin width
+    p = spark.createDataFrame(pts, "pid long, value double")
+    iv = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+
+    out = range_join(p, iv, "value", "lo", "hi", bucket_width=4.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = {(r.pid, r.iid) for r in out.collect()}
+    want = {(pid, iid) for pid, v in pts for iid, lo, hi in ivs
+            if lo <= v < hi}
+    assert got == want and len(want) > 500
