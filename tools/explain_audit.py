@@ -211,6 +211,14 @@ def main() -> None:
           ["MapInPandas"],
           ["Join", "CartesianProduct"])
 
+    # 17. as-of + range legs (r5-cont): the compound window query must
+    # contain NO nested-loop/cartesian join — the as-of is a window pass
+    # and the range join is a bucketed hash equi-join
+    p = plan_of(contract.q_window_topk_asof(spark, sf))
+    check("window compound: asof window + bucketed range, no BNLJ", p,
+          ["Window", "Join"],
+          ["BroadcastNestedLoopJoin", "CartesianProduct"])
+
     report.append(f"\nFAILURES: {failures or 'none'}")
     out = "\n".join(report)
     with open("BENCH/explain_audit.md", "w") as f:
