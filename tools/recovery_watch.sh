@@ -14,6 +14,10 @@ for i in $(seq 1 ${1:-60}); do
     echo "$(date -u +%H:%M:%S) CLEAN WINDOW — running bench" >> BENCH/recovery_watch.log
     timeout 1800 python3 bench.py > BENCH/recovery_bench.json 2>> BENCH/recovery_watch.log
     echo "BENCH_DONE rc=$?" >> BENCH/recovery_watch.log
+    # also re-record a HEAD thread-mode scaling pair in the clean window
+    SPARK_DRIVER_MEMORY=64g SCALING_TRIALS=1 timeout 3600 \
+      python3 tools/scaling_run.py 1000000 2 8 >> BENCH/recovery_watch.log 2>&1
+    echo "SCALING_DONE rc=$?" >> BENCH/recovery_watch.log
     exit 0
   fi
   sleep 240
