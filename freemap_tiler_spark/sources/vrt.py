@@ -164,7 +164,10 @@ def vrt_blocks(
     ).repartition(max(len(rows), 1), "path")
 
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import mmap
+
         mask_buf = mask_meta = None
+        mask_fh = None
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
@@ -201,8 +204,15 @@ def vrt_blocks(
                         blk["nodata"] = [None] * len(sbands)
                     if alpha is not None:
                         if mask_buf is None:
-                            with open(alpha["path"], "rb") as fh:
-                                mask_buf = fh.read()
+                            # mmap, not read(): a mosaic-wide mask can be
+                            # tens of GB — read_region then touches only
+                            # the pages under the decoded tiles, so the
+                            # per-task mask I/O stays proportional to the
+                            # member file's extent
+                            mask_fh = open(alpha["path"], "rb")
+                            mask_buf = mmap.mmap(
+                                mask_fh.fileno(), 0,
+                                access=mmap.ACCESS_READ)
                             mask_meta = GT.geotiff_meta(
                                 mask_buf, require_geo=False)
                         # block's mosaic-pixel window -> mask source window
@@ -241,5 +251,9 @@ def vrt_blocks(
                     out.append(blk)
             if out:
                 yield pd.DataFrame(out)
+        if mask_buf is not None:
+            mask_buf.close()
+        if mask_fh is not None:
+            mask_fh.close()
 
     return files_df.mapInPandas(_split, _BLOCKS_SCHEMA)
