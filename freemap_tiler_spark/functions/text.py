@@ -15,6 +15,7 @@ fingerprinting (64-bit FNV-1a rolling hash, numpy + SQL twins).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -244,3 +245,40 @@ def sql_canonical_url(col: str) -> str:
     for pat, repl in _URL_CANON_STEPS:
         expr = "regexp_replace({e}, '{p}', '{r}')".format(e=expr, p=pat, r=repl)
     return expr
+
+
+def normalize_ccnet(col) -> Column:
+    """CCNet's text normalization (Wenzek et al. 2020: applied before LM
+    scoring so the perplexity model sees canonical text): lowercase, NFD
+    accent stripping, every digit -> 0, unicode-punctuation folding via
+    NFKC, control characters removed.
+
+    Needs real unicode tables, so this is the Arrow-batched exception in
+    this otherwise JVM-only module — a pandas_udf over stdlib
+    ``unicodedata`` (vectorized per batch, never per-row Python in the
+    plan: one ArrowEvalPython stage).
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        digits = _re.compile(r"\d")
+
+        def f(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFD", t.lower())
+            t = "".join(
+                c for c in t
+                if unicodedata.category(c) not in ("Mn", "Cc", "Cf")
+            )
+            t = digits.sub("0", t)
+            return unicodedata.normalize("NFKC", t)
+
+        return s.map(f)
+
+    return _norm(_c(col))

@@ -251,3 +251,33 @@ def test_quality_classifier_pareto_filter(spark):
     kept_corpus = {r.doc_id
                    for r in QM.quality_filter(held, model).collect()}
     assert kept_corpus == k1
+
+
+def test_normalize_ccnet_and_lm_normalization(spark):
+    """CCNet normalization: accents fold, digits -> 0, ligatures expand,
+    zero-width/control chars drop; with normalize=True the LM scores an
+    accented variant identically to its plain form."""
+    from freemap_tiler_spark.operators import lm
+
+    rows = spark.createDataFrame(
+        [("Café RÉSUMÉ 2024",), ("naïve fiancée ﬁne",), (None,)],
+        "t string",
+    ).select(T.normalize_ccnet("t").alias("n")).collect()
+    assert rows[0].n == "cafe resume 0000"
+    assert rows[1].n == "naive fiancee fine"
+    assert rows[2].n is None
+
+    base = "the cafe serves resume advice and the cafe is fine"
+    acc = "the café serves résumé advice and the café is ﬁne"
+    docs = spark.createDataFrame(
+        [(1, base), (2, acc)], "doc_id long, text string")
+    model = lm.train_bigram_lm(docs, normalize=True)
+    out = {r.doc_id: (r.n_bigrams, r.log_ppl)
+           for r in lm.doc_log_perplexity(docs, model,
+                                          normalize=True).collect()}
+    assert out[1] == out[2]  # accented variant == plain under normalization
+    # without normalization the accented tokens differ
+    m2 = lm.train_bigram_lm(docs)
+    o2 = {r.doc_id: r.log_ppl
+          for r in lm.doc_log_perplexity(docs, m2).collect()}
+    assert o2[1] != o2[2]
