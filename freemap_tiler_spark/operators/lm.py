@@ -112,10 +112,13 @@ def perplexity_filter(
     max_log_ppl: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """Keep docs whose LM cross-entropy is below the threshold — the
     CCNet 'head/middle' cut (docs the LM finds unsurprising are kept;
-    gibberish and boilerplate-free noise score high and drop)."""
-    ppl = doc_log_perplexity(corpus, lm, text_col, id_col)
+    gibberish and boilerplate-free noise score high and drop).
+    ``normalize`` must match how the model was trained."""
+    ppl = doc_log_perplexity(corpus, lm, text_col, id_col,
+                             normalize=normalize)
     keep = ppl.where(F.col("log_ppl") <= max_log_ppl).select(id_col)
     return corpus.join(keep, id_col, "left_semi")
