@@ -217,3 +217,53 @@ def test_warp_ramp_golden(spark, proj):
     err = np.concatenate(errs)
     assert err.size > 100
     assert err.mean() < 3.0, f"{proj}: mean abs ramp error {err.mean():.2f}"
+
+
+def test_krovak_helmert_hypothesis_roundtrips():
+    """Property roundtrips over the projection's domain: random points in
+    the Krovak cone's validity region survive fwd∘inv to float precision;
+    random 7-param Helmerts invert exactly; cart∘inv-cart is identity for
+    every registered ellipsoid."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    kr = C._Krovak()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(12.0, 27.0), st.floats(46.0, 54.0))
+    def roundtrip(lon_deg, lat_deg):
+        lon = np.array([math.radians(lon_deg)])
+        lat = np.array([math.radians(lat_deg)])
+        x, y = kr.fwd(lon, lat)
+        lo, la = kr.inv(x, y)
+        assert abs(lo[0] - lon[0]) < 1e-11 and abs(la[0] - lat[0]) < 1e-11
+
+    roundtrip()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.floats(-1000, 1000), st.floats(-1000, 1000),
+           st.floats(-1000, 1000), st.floats(-30, 30), st.floats(-30, 30),
+           st.floats(-30, 30), st.floats(-50, 50),
+           st.sampled_from(["position_vector", "coordinate_frame"]))
+    def helmert_inverts(tx, ty, tz, rx, ry, rz, s, conv):
+        f, i = C.helmert7(tx, ty, tz, rx, ry, rz, s, convention=conv)
+        p = np.array([4000e3]), np.array([1200e3]), np.array([4700e3])
+        q = i(*f(*p))
+        assert max(abs(a - b).max() for a, b in zip(q, p)) < 1e-5
+
+    helmert_inverts()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.floats(-179, 179), st.floats(-89, 89), st.floats(-100, 4000),
+           st.sampled_from(["WGS84", "GRS80", "bessel"]))
+    def cart_inverts(lon_deg, lat_deg, h, ell):
+        lon = np.array([math.radians(lon_deg)])
+        lat = np.array([math.radians(lat_deg)])
+        hh = np.array([h])
+        lo, la, h2 = C.cart_to_geodetic(
+            *C.geodetic_to_cart(lon, lat, hh, ell), ell)
+        assert abs(lo[0] - lon[0]) < 1e-11
+        assert abs(la[0] - lat[0]) < 1e-11
+        assert abs(h2[0] - h) < 1e-5
+
+    cart_inverts()
