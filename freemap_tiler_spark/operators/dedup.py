@@ -24,7 +24,7 @@ all-pairs product ever materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from freemap_tiler_spark.functions.text import md5_fingerprint
@@ -105,43 +105,81 @@ def minhash_lsh_pairs(
     other pairs of an over-size bucket are still not emitted.)
     """
     r = num_hashes // bands
-    # materialize the md5 shingle hashes ONCE as a column, then derive all
-    # num_hashes signatures from it — Catalyst does not share the (expensive)
-    # md5-per-shingle subexpression across transform() calls otherwise
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles(F.col(text_col), shingle_n), lambda s: token_hash(s) % P).alias("_b"),
-    )
-    def _perm(i: int):
-        # one-arg lambda factory: a default-arg lambda would be seen by
-        # F.transform as (element, index) and get the array index injected
-        return lambda h: (F.lit(A[i]) * h + F.lit(B[i])) % P
+    # ONE Arrow pass computes every signature + band bucket from the text,
+    # then the (tiny: id + num_hashes + bands longs per doc) signature table
+    # is localCheckpoint'd so the five downstream consumers (bucket sizing,
+    # small-bucket self-join x2, star, chain re-attach) read materialized
+    # rows instead of re-running the md5-per-shingle work — the former
+    # Column-HOF pipeline evaluated interpreted (transform/array_min are
+    # CodegenFallback) and re-derived the signatures once per consumer
+    # (measured 2.3s per pass at bench scale, ~3 passes).  Tokenization
+    # (lower + trim + whitespace split) stays in the JVM so its semantics
+    # are bit-identical to the shingles() Column path and the DuckDB twin;
+    # Python only rejoins token windows and md5s them — both engines hash
+    # the same UTF-8 bytes, and the minhash permutation arithmetic
+    # ((A*h + B) % P) stays in int64 range either way.
+    import numpy as np
+    import pandas as pd
 
-    sig = base.select(
-        "_id",
-        *[
-            F.array_min(F.transform("_b", _perm(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
+    a_coef, b_coef = A[:num_hashes], B[:num_hashes]
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    sig_schema = "_id long, " + ", ".join(
+        [f"_h{i} long" for i in range(num_hashes)]
+        + [f"_bk{b} long" for b in range(bands)]
     )
+
+    def _signatures(batches):
+        import hashlib
+
+        aa = np.asarray(a_coef, dtype=np.int64)[None, :]
+        bb = np.asarray(b_coef, dtype=np.int64)[None, :]
+        for pdf in batches:
+            n = len(pdf)
+            H = np.empty((n, num_hashes), dtype=np.int64)
+            BK = np.empty((n, bands), dtype=np.int64)
+            for i, tk in enumerate(pdf["_toks"]):
+                tk = list(tk)
+                if len(tk) >= shingle_n:
+                    sh = [" ".join(tk[j:j + shingle_n])
+                          for j in range(len(tk) - shingle_n + 1)]
+                else:
+                    sh = [" ".join(tk)]
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % P
+                     for s in sh),
+                    dtype=np.int64, count=len(sh),
+                )[:, None]
+                m = ((aa * hs + bb) % P).min(axis=0)
+                H[i] = m
+                for b in range(bands):
+                    key = ",".join(str(m[b * r + j]) for j in range(r))
+                    BK[i, b] = int(
+                        hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16
+                    )
+            out = {"_id": pdf["_id"]}
+            out.update({f"_h{i}": H[:, i] for i in range(num_hashes)})
+            out.update({f"_bk{b}": BK[:, b] for b in range(bands)})
+            yield pd.DataFrame(out)
+
+    sig = base.mapInPandas(_signatures, sig_schema).localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    md5_fingerprint(
-                        F.concat_ws(",", *[F.col(f"_h{b * r + j}") for j in range(r)])
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(b).alias("band"), F.col(f"_bk{b}").alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    sizes = banded.groupBy("band", "bucket").agg(
-        F.count("*").alias("_n"), F.min("_id").alias("_rep")
+    # bucket size + representative via ONE window pass (the former
+    # groupBy + join back re-shuffled banded twice)
+    wsz = Window.partitionBy("band", "bucket")
+    tagged = banded.select(
+        "_id", "band", "bucket",
+        F.count("*").over(wsz).alias("_n"),
+        F.min("_id").over(wsz).alias("_rep"),
     )
-    tagged = banded.join(sizes, ["band", "bucket"])
     small = tagged.where(F.col("_n") <= max_bucket_size).select("_id", "band", "bucket")
     left = small.alias("l")
     right = small.alias("r")
@@ -158,8 +196,6 @@ def minhash_lsh_pairs(
         (F.col("_n") > max_bucket_size) & (F.col("_id") != F.col("_rep"))
     ).select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
     # chain: consecutive members in full-signature order (see docstring)
-    from pyspark.sql import Window
-
     big = tagged.where(F.col("_n") > max_bucket_size).select("_id", "band", "bucket")
     big_sig = big.join(sig, "_id")
     wchain = Window.partitionBy("band", "bucket").orderBy(

@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor (default 1m) merges a small pre-join shuffle
+        # down to ONE partition even with parallelismFirst on; when the next
+        # operator is a fan-out (broadcast join against a dense side, explode),
+        # the multiplied rows then sort/compute on one core (measured: the kNN
+        # candidate stage ran its 3.9M-row WindowGroupLimit single-threaded,
+        # 3.5s -> 1.3s with a 4k floor).  At production partition sizes
+        # (>=64MB) the floor never binds, so this only affects nearly-empty
+        # shuffles; parameterised for cluster tuning.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "4k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
