@@ -1748,18 +1748,28 @@ def q_sector_in_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x&1) + 2*(y&1)) — all pure Column arithmetic vs the same integer
     laws restated on DuckDB tile coords."""
     g = _docs_geo(spark, sf_dir)
-    c = cells.cell(
-        F.lit(10),
-        mercator.tile_x(F.col("lon"), F.lit(10)),
-        mercator.tile_y(F.col("lat"), F.lit(10)),
-    )
-    return g.select(
+    # stage the cell id and its ancestor as materialized columns: inlining
+    # cell(...) into every output would nest the morton interleave inside
+    # compact1by1's 2^5-way self-duplication (cell_x(ancestor(cell(...)))
+    # expands to ~64 copies of the whole projection tree per output
+    # column) — measured 60s of pure Catalyst planning for 500 rows.
+    # Same cell-algebra functions, same values; only the expression
+    # sharing changes.
+    staged = g.select(
         "doc_id",
-        cells.cell_x(cells.ancestor(c, 2)).alias("ax"),
-        cells.cell_y(cells.ancestor(c, 2)).alias("ay"),
-        cells.sector_in_ancestor_x(c, 2).alias("sx"),
-        cells.sector_in_ancestor_y(c, 2).alias("sy"),
-        cells.child_index(c).alias("ci"),
+        cells.cell(
+            F.lit(10),
+            mercator.tile_x(F.col("lon"), F.lit(10)),
+            mercator.tile_y(F.col("lat"), F.lit(10)),
+        ).alias("c"),
+    ).select("doc_id", F.col("c"), cells.ancestor(F.col("c"), 2).alias("anc"))
+    return staged.select(
+        "doc_id",
+        cells.cell_x(F.col("anc")).alias("ax"),
+        cells.cell_y(F.col("anc")).alias("ay"),
+        cells.sector_in_ancestor_x(F.col("c"), 2).alias("sx"),
+        cells.sector_in_ancestor_y(F.col("c"), 2).alias("sy"),
+        cells.child_index(F.col("c")).alias("ci"),
     ).orderBy("doc_id")
 
 

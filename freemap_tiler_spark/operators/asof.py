@@ -33,6 +33,13 @@ def asof_join(
     """left columns + ``prefix``-renamed right_cols (+ ``prefix + ts``),
     NULL where no right row precedes the left row for that key."""
     carried = [prefix + c for c in right_cols] + [prefix + ts]
+    clash = (set(carried) | {"_side"}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with carried "
+            f"right columns / the _side sentinel; rename them or pass a "
+            f"different prefix"
+        )
     r = right.select(
         F.col(key), F.col(ts),
         *[F.col(c).alias(prefix + c) for c in right_cols],

@@ -173,13 +173,16 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
     # bucket size + representative via ONE window pass (the former
-    # groupBy + join back re-shuffled banded twice)
+    # groupBy + join back re-shuffled banded twice); checkpointed because
+    # FOUR consumers walk it (small self-join x2, star, chain) and the
+    # preserved (band, bucket) hash partitioning makes the self-join
+    # exchange-free
     wsz = Window.partitionBy("band", "bucket")
     tagged = banded.select(
         "_id", "band", "bucket",
         F.count("*").over(wsz).alias("_n"),
         F.min("_id").over(wsz).alias("_rep"),
-    )
+    ).localCheckpoint(eager=True)
     small = tagged.where(F.col("_n") <= max_bucket_size).select("_id", "band", "bucket")
     left = small.alias("l")
     right = small.alias("r")
@@ -284,6 +287,14 @@ def simhash_near_dups(
     pHash image path); ``block_bits`` is retained for signature
     compatibility but the block width is ``bits // (max_hamming + 1)``.
     """
+    if block_bits != 8:
+        import warnings
+
+        warnings.warn(
+            "simhash_near_dups ignores block_bits; blocking width is "
+            "bits // (max_hamming + 1)",
+            DeprecationWarning, stacklevel=2,
+        )
     sh = df.select(
         F.col(id_col), simhash(F.col(text_col), bits).alias("_simhash")
     )

@@ -102,12 +102,33 @@ def knn_join(
         """(probe, occupied neighbor cell, Chebyshev ring) for the ±R
         neighborhood — ONE explode (sequence keeps the plan O(1) in ring
         size).  y-clamp / x-wrap can collide offsets onto one cell near
-        the poles/antimeridian — keep the SMALLEST ring distance per
-        (probe, cell) so counts stay exact and each cell appears once."""
-        return (
+        the poles/antimeridian — each cell must appear once with the
+        SMALLEST ring distance so counts stay exact."""
+        exploded = (
             probe_df
             .select("*", F.explode(F.sequence(F.lit(-R), F.lit(R))).alias("_dx"))
             .select("*", F.explode(F.sequence(F.lit(-R), F.lit(R))).alias("_dy"))
+        )
+        if 2 * R + 1 <= (1 << zoom):
+            # shuffle-free form: an off-grid y offset clamps onto the edge
+            # row that the SAME probe already reaches directly at a smaller
+            # |_dy| (ring = max(|dx|,|dy|) is monotone in |dy|), so
+            # dropping off-grid offsets IS the clamp + min-ring dedup; and
+            # x wrap cannot revisit a cell while the ring is narrower than
+            # the world.  (probe, qcell) rows come out unique with the
+            # minimal ring — no groupBy shuffle needed.
+            qy = F.col("pty") + F.col("_dy")
+            return exploded.where((qy >= 0) & (qy <= n - 1)).select(
+                probe_id, "_plon", "_plat",
+                F.greatest(F.abs("_dx"), F.abs("_dy")).alias("_ring"),
+                cells.cell(
+                    F.lit(zoom),
+                    ((F.col("ptx") + F.col("_dx")) + n) % n,  # wrap antimeridian
+                    qy,
+                ).alias("qcell"),
+            )
+        return (
+            exploded
             .select(
                 probe_id, "_plon", "_plat",
                 F.greatest(F.abs("_dx"), F.abs("_dy")).alias("_ring"),

@@ -239,13 +239,18 @@ def compose_pyramid(
         anc = cells.ancestor(F.col("cell"), k).alias("anc")
         # persist per round: the output feeds BOTH the union and the next
         # round — without it Spark re-runs the (expensive) UDF stage once
-        # per consumer, turning 3 rounds into ~6 executions
+        # per consumer, turning 3 rounds into ~6 executions.  The FINAL
+        # round's output has only one consumer (the union), so its cache
+        # build is pure overhead — skip it.
         produced = current.groupBy(anc).applyInPandas(
             _make_compose(k), PAYLOAD_SCHEMA
-        ).persist(StorageLevel.MEMORY_AND_DISK)  # serialized: binary-payload
-        # rows cached deserialized are heap object soup -> GC thrash
-        if round_cache is not None:
-            round_cache.append(produced)
+        )
+        if z - k > to_zoom:
+            produced = produced.persist(StorageLevel.MEMORY_AND_DISK)
+            # serialized: binary-payload rows cached deserialized are heap
+            # object soup -> GC thrash
+            if round_cache is not None:
+                round_cache.append(produced)
         all_levels = all_levels.unionByName(produced)
         current = produced.where(cells.cell_zoom("cell") == z - k)
         z -= k

@@ -33,8 +33,16 @@ def range_join(
     # empty extra bin per interval, removed by the exact post-filter
     # (cheaper and safer than epsilon games on the bin edge)
     b1 = F.floor(F.col(hi) / F.lit(w))
+    # guard malformed hi < lo intervals: F.sequence with hi-bin < lo-bin
+    # DESCENDS (default step -1) and would explode every bin between the
+    # two bounds — correct via the post-filter, but a garbage interval
+    # could blow up shuffle volume.  greatest() pins such rows to one
+    # empty bin instead.
     iv = intervals.withColumn(
-        "_bkt", F.explode(F.sequence(b0.cast("long"), b1.cast("long")))
+        "_bkt",
+        F.explode(F.sequence(
+            b0.cast("long"), F.greatest(b0.cast("long"), b1.cast("long"))
+        )),
     )
     return (
         p.join(iv, "_bkt")

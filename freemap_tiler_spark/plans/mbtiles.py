@@ -62,11 +62,28 @@ def import_mbtiles(
         )
         out = os.path.join(root, "store")
         wrote = False
+        # accumulate fetchmany batches into one write per ~write_every rows:
+        # a coalesce(1) parquet append per 8k-row batch meant one file per
+        # batch AND an O(files) output-dir relisting per append — O(files^2)
+        # committer overhead on large archives (ADVICE r5)
+        write_every = max(batch, 262_144)
+        recs: list = []
+
+        def _flush():
+            nonlocal wrote, recs
+            if not recs:
+                return
+            (spark.createDataFrame(recs, _TILE_SCHEMA)
+             .coalesce(1)
+             .write.mode("append" if wrote else "overwrite")
+             .partitionBy("zoom").parquet(out))
+            wrote = True
+            recs = []
+
         while True:
             rows = cur.fetchmany(batch)
             if not rows:
                 break
-            recs = []
             for r in rows:
                 alpha = r[4] if jpeg else None
                 recs.append((
@@ -74,11 +91,9 @@ def import_mbtiles(
                     bytes(r[3]) if r[3] is not None else None,
                     bytes(alpha) if alpha else None,  # b"" = opaque-elided
                 ))
-            (spark.createDataFrame(recs, _TILE_SCHEMA)
-             .coalesce(1)
-             .write.mode("append" if wrote else "overwrite")
-             .partitionBy("zoom").parquet(out))
-            wrote = True
+            if len(recs) >= write_every:
+                _flush()
+        _flush()
         if not wrote:
             (spark.createDataFrame([], _TILE_SCHEMA)
              .write.mode("overwrite").partitionBy("zoom").parquet(out))

@@ -168,92 +168,97 @@ def vrt_blocks(
 
         mask_buf = mask_meta = None
         mask_fh = None
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                with open(r.path, "rb") as fh:
-                    buf = fh.read()
-                fm = GT.geotiff_meta(buf, require_geo=False)
-                if (fm["width"], fm["height"]) != (r.sw, r.sh) \
-                        or (r.sx, r.sy) != (0, 0):
-                    raise VrtError(
-                        f"partial SrcRect unsupported: {r.path} is "
-                        f"{fm['width']}x{fm['height']}, rect "
-                        f"{(r.sx, r.sy, r.sw, r.sh)}"
-                    )
-                # SourceBand mapping: identity passes through; anything
-                # else (e.g. a BGR-ordered member, or band 1 of a 3-band
-                # file) selects/reorders decoded channels
-                sbands = [int(b) for b in r.sbands]
-                if max(sbands) > fm["bands"]:
-                    raise VrtError(
-                        f"{r.path}: SourceBand {max(sbands)} beyond the "
-                        f"file's {fm['bands']} bands"
-                    )
-                remap = sbands != list(range(1, fm["bands"] + 1))
-                for blk in GT.split_blocks(
-                    buf, ensure_alpha=False, override_gt=gt,
-                    origin_px=(r.dx, r.dy), override_crs=crs, meta=fm,
-                ):
-                    if remap:
-                        a = np.frombuffer(blk["data"], np.uint8).reshape(
-                            blk["height"], blk["width"], blk["bands"])
-                        a = a[:, :, [b - 1 for b in sbands]]
-                        blk["data"] = np.ascontiguousarray(a).tobytes()
-                        blk["bands"] = len(sbands)
-                        blk["nodata"] = [None] * len(sbands)
-                    if alpha is not None:
-                        if mask_buf is None:
-                            # mmap, not read(): a mosaic-wide mask can be
-                            # tens of GB — read_region then touches only
-                            # the pages under the decoded tiles, so the
-                            # per-task mask I/O stays proportional to the
-                            # member file's extent
-                            mask_fh = open(alpha["path"], "rb")
-                            mask_buf = mmap.mmap(
-                                mask_fh.fileno(), 0,
-                                access=mmap.ACCESS_READ)
-                            mask_meta = GT.geotiff_meta(
-                                mask_buf, require_geo=False)
-                        # block's mosaic-pixel window -> mask source window
-                        # (axis-aligned VRT grids only for the overlay)
-                        if gt[2] != 0.0 or gt[4] != 0.0:
-                            raise VrtError(
-                                "mask overlay needs an axis-aligned VRT grid"
-                            )
-                        bx = round((blk["geo_transform"][0] - gt[0]) / gt[1])
-                        by = round((blk["geo_transform"][3] - gt[3]) / gt[5])
-                        mx = bx - alpha["dst"][0] + alpha["src"][0]
-                        my = by - alpha["dst"][1] + alpha["src"][1]
-                        m = GT.read_region(
-                            mask_buf, mx, my, blk["width"], blk["height"],
-                            mask_meta,
-                        )[:, :, alpha["band"] - 1:alpha["band"]]
-                        a = np.frombuffer(blk["data"], np.uint8).reshape(
-                            blk["height"], blk["width"], blk["bands"])
-                        blk["data"] = np.ascontiguousarray(
-                            np.concatenate([a, m], axis=2)).tobytes()
-                        blk["bands"] += 1
-                        blk["nodata"] = blk["nodata"] + [None]
-                    elif ensure_alpha and blk["bands"] in (1, 3):
-                        a = np.frombuffer(blk["data"], np.uint8).reshape(
-                            blk["height"], blk["width"], blk["bands"])
-                        op = np.full((blk["height"], blk["width"], 1), 255,
-                                     np.uint8)
-                        blk["data"] = np.ascontiguousarray(
-                            np.concatenate([a, op], axis=2)).tobytes()
-                        blk["bands"] += 1
-                        blk["nodata"] = blk["nodata"] + [None]
-                    if nodata:
-                        blk["nodata"] = [
-                            nodata.get(b + 1) for b in range(blk["bands"])
-                        ]
-                    out.append(blk)
-            if out:
-                yield pd.DataFrame(out)
-        if mask_buf is not None:
-            mask_buf.close()
-        if mask_fh is not None:
-            mask_fh.close()
+        try:
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    with open(r.path, "rb") as fh:
+                        buf = fh.read()
+                    fm = GT.geotiff_meta(buf, require_geo=False)
+                    if (fm["width"], fm["height"]) != (r.sw, r.sh) \
+                            or (r.sx, r.sy) != (0, 0):
+                        raise VrtError(
+                            f"partial SrcRect unsupported: {r.path} is "
+                            f"{fm['width']}x{fm['height']}, rect "
+                            f"{(r.sx, r.sy, r.sw, r.sh)}"
+                        )
+                    # SourceBand mapping: identity passes through; anything
+                    # else (e.g. a BGR-ordered member, or band 1 of a 3-band
+                    # file) selects/reorders decoded channels
+                    sbands = [int(b) for b in r.sbands]
+                    if max(sbands) > fm["bands"]:
+                        raise VrtError(
+                            f"{r.path}: SourceBand {max(sbands)} beyond the "
+                            f"file's {fm['bands']} bands"
+                        )
+                    remap = sbands != list(range(1, fm["bands"] + 1))
+                    for blk in GT.split_blocks(
+                        buf, ensure_alpha=False, override_gt=gt,
+                        origin_px=(r.dx, r.dy), override_crs=crs, meta=fm,
+                    ):
+                        if remap:
+                            a = np.frombuffer(blk["data"], np.uint8).reshape(
+                                blk["height"], blk["width"], blk["bands"])
+                            a = a[:, :, [b - 1 for b in sbands]]
+                            blk["data"] = np.ascontiguousarray(a).tobytes()
+                            blk["bands"] = len(sbands)
+                            blk["nodata"] = [None] * len(sbands)
+                        if alpha is not None:
+                            if mask_buf is None:
+                                # mmap, not read(): a mosaic-wide mask can be
+                                # tens of GB — read_region then touches only
+                                # the pages under the decoded tiles, so the
+                                # per-task mask I/O stays proportional to the
+                                # member file's extent
+                                mask_fh = open(alpha["path"], "rb")
+                                mask_buf = mmap.mmap(
+                                    mask_fh.fileno(), 0,
+                                    access=mmap.ACCESS_READ)
+                                mask_meta = GT.geotiff_meta(
+                                    mask_buf, require_geo=False)
+                            # block's mosaic-pixel window -> mask source window
+                            # (axis-aligned VRT grids only for the overlay)
+                            if gt[2] != 0.0 or gt[4] != 0.0:
+                                raise VrtError(
+                                    "mask overlay needs an axis-aligned VRT grid"
+                                )
+                            bx = round((blk["geo_transform"][0] - gt[0]) / gt[1])
+                            by = round((blk["geo_transform"][3] - gt[3]) / gt[5])
+                            mx = bx - alpha["dst"][0] + alpha["src"][0]
+                            my = by - alpha["dst"][1] + alpha["src"][1]
+                            m = GT.read_region(
+                                mask_buf, mx, my, blk["width"], blk["height"],
+                                mask_meta,
+                            )[:, :, alpha["band"] - 1:alpha["band"]]
+                            a = np.frombuffer(blk["data"], np.uint8).reshape(
+                                blk["height"], blk["width"], blk["bands"])
+                            blk["data"] = np.ascontiguousarray(
+                                np.concatenate([a, m], axis=2)).tobytes()
+                            blk["bands"] += 1
+                            blk["nodata"] = blk["nodata"] + [None]
+                        elif ensure_alpha and blk["bands"] in (1, 3):
+                            a = np.frombuffer(blk["data"], np.uint8).reshape(
+                                blk["height"], blk["width"], blk["bands"])
+                            op = np.full((blk["height"], blk["width"], 1), 255,
+                                         np.uint8)
+                            blk["data"] = np.ascontiguousarray(
+                                np.concatenate([a, op], axis=2)).tobytes()
+                            blk["bands"] += 1
+                            blk["nodata"] = blk["nodata"] + [None]
+                        if nodata:
+                            blk["nodata"] = [
+                                nodata.get(b + 1) for b in range(blk["bands"])
+                            ]
+                        out.append(blk)
+                if out:
+                    yield pd.DataFrame(out)
+        finally:
+            # an exception mid-batch (e.g. VrtError on a bad member)
+            # must not leak the mosaic-wide mask fd/mmap in the
+            # long-lived executor worker
+            if mask_buf is not None:
+                mask_buf.close()
+            if mask_fh is not None:
+                mask_fh.close()
 
     return files_df.mapInPandas(_split, _BLOCKS_SCHEMA)
