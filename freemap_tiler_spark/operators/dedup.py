@@ -162,6 +162,9 @@ def minhash_lsh_pairs(
             out.update({f"_bk{b}": BK[:, b] for b in range(bands)})
             yield pd.DataFrame(out)
 
+    # eager measured faster than lazy on fresh plans (1.7s vs 2.4s at bench
+    # scale): the lazy form re-enters the checkpoint machinery inside the
+    # tagged job's tasks
     sig = base.mapInPandas(_signatures, sig_schema).localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
